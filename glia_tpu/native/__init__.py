@@ -1,0 +1,110 @@
+"""ctypes bindings for the C++ native runtime (watershed, exact merge, CC).
+
+The shared library is compiled on first use with g++ -O3 and cached next to
+the source; rebuilds happen automatically when the source changes.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "src", "glia_native.cc")
+_LIB = os.path.join(_HERE, "_glia_native.so")
+_lock = threading.Lock()
+_lib = None
+
+
+def _build():
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        _SRC, "-o", _LIB,
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def get_lib():
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if (not os.path.exists(_LIB)
+                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+            _build()
+        lib = ctypes.CDLL(_LIB)
+        i64 = ctypes.c_int64
+        p_i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        p_i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        p_f32 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        p_f64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+
+        lib.glia_greedy_merge.restype = i64
+        lib.glia_greedy_merge.argtypes = [
+            i64, p_i64, p_i64, p_i64, p_f64, ctypes.c_int,
+            i64, p_i64, p_i64, p_i64, p_f64, i64,
+        ]
+        lib.glia_watershed.restype = i64
+        lib.glia_watershed.argtypes = [p_f32, p_i64, ctypes.c_int,
+                                       ctypes.c_double, p_i32]
+        lib.glia_connected_components.restype = i64
+        lib.glia_connected_components.argtypes = [
+            p_i32, ctypes.c_void_p, p_i64, ctypes.c_int, p_i32,
+        ]
+        _lib = lib
+        return _lib
+
+
+_POLICY_IDS = {"median": 0, "mean": 1, "median_minsize": 2}
+
+
+def greedy_merge_native(rag, pb_image, policy="median"):
+    """Exact greedy merge via the C++ engine; same outputs as
+    glia_tpu.graph.merge.greedy_merge_order (no fcond support)."""
+    lib = get_lib()
+    pb = np.ascontiguousarray(np.asarray(pb_image).ravel(), dtype=np.float64)
+    edge_vals = pb[rag.edge_pixels]
+    u = np.ascontiguousarray(rag.edges[:, 0], dtype=np.int64)
+    v = np.ascontiguousarray(rag.edges[:, 1], dtype=np.int64)
+    ptr = np.ascontiguousarray(rag.edge_ptr, dtype=np.int64)
+    keys = np.ascontiguousarray(rag.keys, dtype=np.int64)
+    sizes = np.ascontiguousarray(
+        rag.sizes if rag.sizes is not None else np.zeros_like(keys),
+        dtype=np.int64,
+    )
+    max_merges = max(rag.n_regions - 1, 0)
+    order = np.zeros(max(max_merges * 3, 1), dtype=np.int64)
+    sals = np.zeros(max(max_merges, 1), dtype=np.float64)
+    n = lib.glia_greedy_merge(
+        rag.n_edges, u, v, ptr, np.ascontiguousarray(edge_vals),
+        _POLICY_IDS[policy], len(keys), keys, sizes, order, sals, max_merges,
+    )
+    return order[: n * 3].reshape(-1, 3).copy(), sals[:n].copy()
+
+
+def watershed_native(image, level=0.0):
+    """Priority-flood watershed with h-minima `level`; labels from 1."""
+    lib = get_lib()
+    img = np.ascontiguousarray(np.asarray(image), dtype=np.float32)
+    dims = np.asarray(img.shape, dtype=np.int64)
+    out = np.zeros(img.size, dtype=np.int32)
+    lib.glia_watershed(img.ravel(), dims, img.ndim, float(level), out)
+    return out.reshape(img.shape)
+
+
+def connected_components_native(labels, mask=None):
+    """Connected components of equal-valued pixels (4/6-connectivity)."""
+    lib = get_lib()
+    lab = np.ascontiguousarray(np.asarray(labels), dtype=np.int32)
+    dims = np.asarray(lab.shape, dtype=np.int64)
+    out = np.zeros(lab.size, dtype=np.int32)
+    mask_ptr = None
+    if mask is not None:
+        mask_arr = np.ascontiguousarray(np.asarray(mask), dtype=np.int32)
+        mask_ptr = mask_arr.ctypes.data_as(ctypes.c_void_p)
+    lib.glia_connected_components(lab.ravel(), mask_ptr, dims, lab.ndim, out)
+    return out.reshape(lab.shape)

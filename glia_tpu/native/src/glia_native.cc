@@ -1,0 +1,453 @@
+// glia_tpu native runtime components.
+//
+// TPU-native framework policy: all production *compute* runs under JAX/XLA;
+// the serial, pointer-chasing parts of the pipeline that a TPU cannot host
+// efficiently (exact priority-queue greedy merging, priority-flood
+// watershed) live here as a C++ runtime, exposed via a C ABI for ctypes.
+//
+// Semantics notes (behavioral parity with the reference, no code reuse):
+//  * greedy merge: reference hot loop is code/type/boundary_table.hxx:122-167
+//    driven by code/util/struct_merge.hxx:13-33.  Saliency = -statistic;
+//    pop highest saliency; ties resolved latest-inserted-first; merged pair
+//    (r0,r1) -> fresh key r2 = ++maxKey; incident edges splice their pixel
+//    value lists.  Statistic: upper median sorted[n/2]
+//    (code/util/stats.hxx:83-91), pooled mean, or median*minsize.
+//  * watershed: equivalent of itk::MorphologicalWatershedImageFilter
+//    (code/util/image_alg.hxx:9-21): h-minima suppression at `level` via
+//    morphological reconstruction by erosion, then Meyer priority-flood from
+//    regional minima, 2*D connectivity, no watershed lines, labels from 1.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <queue>
+#include <unordered_map>
+#include <unordered_set>
+#include <vector>
+
+namespace {
+
+using i64 = int64_t;
+using i32 = int32_t;
+
+// ---------------------------------------------------------------------------
+// Greedy merge engine
+// ---------------------------------------------------------------------------
+
+struct PairHash {
+  size_t operator()(const std::pair<i64, i64>& p) const {
+    return std::hash<i64>()(p.first * 0x9E3779B97F4A7C15LL + p.second);
+  }
+};
+
+struct Item {
+  std::vector<double> vals;  // median policies
+  double sum = 0.0;          // mean policy
+  i64 count = 0;
+  i64 seq = 0;
+};
+
+struct HeapEntry {
+  double stat;
+  i64 neg_seq;
+  i64 u, v;
+  bool operator>(const HeapEntry& o) const {
+    if (stat != o.stat) return stat > o.stat;
+    return neg_seq > o.neg_seq;
+  }
+};
+
+double upper_median(std::vector<double>& v) {
+  if (v.empty()) return -1.0;  // DUMMY
+  size_t k = v.size() / 2;
+  std::nth_element(v.begin(), v.begin() + k, v.end());
+  return v[k];
+}
+
+}  // namespace
+
+extern "C" {
+
+// policy: 0=median, 1=mean, 2=median_minsize
+// Returns the number of merges written (<= max_merges).
+i64 glia_greedy_merge(i64 n_edges, const i64* edges_u, const i64* edges_v,
+                      const i64* edge_ptr, const double* edge_vals, int policy,
+                      i64 n_regions, const i64* region_keys,
+                      const i64* region_sizes, i64* out_order,
+                      double* out_saliencies, i64 max_merges) {
+  std::unordered_map<std::pair<i64, i64>, Item, PairHash> table;
+  std::unordered_map<i64, std::unordered_set<i64>> adj;
+  std::unordered_map<i64, i64> sizes;
+  std::priority_queue<HeapEntry, std::vector<HeapEntry>,
+                      std::greater<HeapEntry>>
+      heap;
+  i64 seq = 0;
+  bool need_sizes = (policy == 2);
+  if (need_sizes) {
+    sizes.reserve(n_regions * 2);
+    for (i64 i = 0; i < n_regions; ++i) sizes[region_keys[i]] = region_sizes[i];
+  }
+
+  auto stat_of = [&](Item& it, i64 u, i64 v) -> double {
+    switch (policy) {
+      case 0:
+        return upper_median(it.vals);
+      case 1:
+        return it.count ? it.sum / it.count : 0.0;
+      default: {
+        double m = upper_median(it.vals);
+        i64 s = std::min(sizes[u], sizes[v]);
+        return m * s;
+      }
+    }
+  };
+
+  auto push = [&](i64 u, i64 v, Item&& item) {
+    item.seq = seq;
+    auto res = table.emplace(std::make_pair(u, v), std::move(item));
+    Item& it = res.first->second;
+    double s = stat_of(it, u, v);
+    heap.push(HeapEntry{s, -seq, u, v});
+    adj[u].insert(v);
+    adj[v].insert(u);
+    ++seq;
+  };
+
+  i64 max_key = 0;
+  for (i64 i = 0; i < n_regions; ++i)
+    max_key = std::max(max_key, region_keys[i]);
+
+  for (i64 e = 0; e < n_edges; ++e) {
+    Item item;
+    i64 a = edge_ptr[e], b = edge_ptr[e + 1];
+    if (policy == 1) {
+      for (i64 i = a; i < b; ++i) item.sum += edge_vals[i];
+      item.count = b - a;
+    } else {
+      item.vals.assign(edge_vals + a, edge_vals + b);
+    }
+    max_key = std::max(max_key, std::max(edges_u[e], edges_v[e]));
+    push(edges_u[e], edges_v[e], std::move(item));
+  }
+
+  i64 next_key = max_key + 1;
+  i64 n_merges = 0;
+
+  while (!table.empty() && n_merges < max_merges) {
+    // pop first live entry
+    i64 r0 = -1, r1 = -1;
+    double stat = 0.0;
+    while (!heap.empty()) {
+      HeapEntry top = heap.top();
+      heap.pop();
+      auto it = table.find(std::make_pair(top.u, top.v));
+      if (it != table.end() && it->second.seq == -top.neg_seq) {
+        r0 = top.u;
+        r1 = top.v;
+        stat = top.stat;
+        break;
+      }
+    }
+    if (r0 < 0) break;
+
+    i64 r2 = next_key++;
+    out_order[n_merges * 3] = r0;
+    out_order[n_merges * 3 + 1] = r1;
+    out_order[n_merges * 3 + 2] = r2;
+    out_saliencies[n_merges] = -stat;
+    ++n_merges;
+    if (need_sizes) sizes[r2] = sizes[r0] + sizes[r1];
+
+    table.erase(std::make_pair(r0, r1));
+    adj[r0].erase(r1);
+    adj[r1].erase(r0);
+    std::unordered_set<i64> neighbors = std::move(adj[r0]);
+    for (i64 x : adj[r1]) neighbors.insert(x);
+    adj.erase(r0);
+    adj.erase(r1);
+
+    for (i64 rs : neighbors) {
+      Item merged;
+      for (i64 rr : {r0, r1}) {
+        auto key = rr < rs ? std::make_pair(rr, rs) : std::make_pair(rs, rr);
+        auto it = table.find(key);
+        if (it != table.end()) {
+          if (policy == 1) {
+            merged.sum += it->second.sum;
+            merged.count += it->second.count;
+          } else if (merged.vals.empty()) {
+            merged.vals = std::move(it->second.vals);
+          } else {
+            merged.vals.insert(merged.vals.end(), it->second.vals.begin(),
+                               it->second.vals.end());
+          }
+          table.erase(it);
+        }
+      }
+      adj[rs].erase(r0);
+      adj[rs].erase(r1);
+      push(rs, r2, std::move(merged));
+    }
+  }
+  return n_merges;
+}
+
+// ---------------------------------------------------------------------------
+// Watershed (h-minima + Meyer priority flood), arbitrary dimension
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct FloodEntry {
+  float value;
+  i64 seq;
+  i64 pixel;
+  bool operator>(const FloodEntry& o) const {
+    if (value != o.value) return value > o.value;
+    return seq > o.seq;
+  }
+};
+
+// Neighbor offsets for 2*D connectivity given dims (C-order strides).
+void neighbor_strides(const i64* dims, int ndim, std::vector<i64>& strides) {
+  strides.assign(ndim, 0);
+  i64 s = 1;
+  for (int d = ndim - 1; d >= 0; --d) {
+    strides[d] = s;
+    s *= dims[d];
+  }
+}
+
+}  // namespace
+
+// Morphological reconstruction by erosion of `marker` constrained below by
+// `mask` (marker >= mask pointwise required): returns pointwise smallest
+// erosion-reconstruction.  Hybrid raster/anti-raster + FIFO algorithm.
+void glia_reconstruct_erosion(float* marker, const float* mask,
+                              const i64* dims, int ndim) {
+  std::vector<i64> strides;
+  neighbor_strides(dims, ndim, strides);
+  i64 n = 1;
+  for (int d = 0; d < ndim; ++d) n *= dims[d];
+
+  std::vector<i64> coord(ndim);
+  auto decode = [&](i64 p) {
+    i64 r = p;
+    for (int d = 0; d < ndim; ++d) {
+      coord[d] = r / strides[d];
+      r %= strides[d];
+    }
+  };
+
+  // raster scan
+  for (i64 p = 0; p < n; ++p) {
+    decode(p);
+    float m = marker[p];
+    for (int d = 0; d < ndim; ++d) {
+      if (coord[d] > 0) m = std::min(m, marker[p - strides[d]]);
+    }
+    marker[p] = std::max(m, mask[p]);
+  }
+  // anti-raster scan + queue init
+  std::queue<i64> fifo;
+  for (i64 p = n - 1; p >= 0; --p) {
+    decode(p);
+    float m = marker[p];
+    for (int d = 0; d < ndim; ++d) {
+      if (coord[d] + 1 < dims[d]) m = std::min(m, marker[p + strides[d]]);
+    }
+    marker[p] = std::max(m, mask[p]);
+    for (int d = 0; d < ndim; ++d) {
+      if (coord[d] + 1 < dims[d]) {
+        i64 q = p + strides[d];
+        if (marker[q] > marker[p] && marker[q] > mask[q]) {
+          fifo.push(p);
+          break;
+        }
+      }
+    }
+  }
+  // FIFO propagation
+  while (!fifo.empty()) {
+    i64 p = fifo.front();
+    fifo.pop();
+    decode(p);
+    for (int d = 0; d < ndim; ++d) {
+      for (int sgn = -1; sgn <= 1; sgn += 2) {
+        if (sgn < 0 ? coord[d] == 0 : coord[d] + 1 == dims[d]) continue;
+        i64 q = p + sgn * strides[d];
+        if (marker[q] > marker[p] && marker[q] > mask[q]) {
+          marker[q] = std::max(marker[p], mask[q]);
+          fifo.push(q);
+        }
+      }
+    }
+  }
+}
+
+// Watershed segmentation.  img: float array (C-order, `dims`/`ndim`).
+// level: h-minima depth.  out: int32 labels (1-based, every pixel labeled).
+// Returns number of labels.
+i64 glia_watershed(const float* img, const i64* dims, int ndim, double level,
+                   i32* out) {
+  std::vector<i64> strides;
+  neighbor_strides(dims, ndim, strides);
+  i64 n = 1;
+  for (int d = 0; d < ndim; ++d) n *= dims[d];
+
+  // 1. h-minima suppression via reconstruction-by-erosion of (img+level)
+  std::vector<float> work(img, img + n);
+  if (level > 0.0) {
+    std::vector<float> marker(n);
+    for (i64 p = 0; p < n; ++p) marker[p] = img[p] + (float)level;
+    glia_reconstruct_erosion(marker.data(), img, dims, ndim);
+    work = std::move(marker);
+  }
+
+  std::vector<i64> coord(ndim);
+  auto decode = [&](i64 p) {
+    i64 r = p;
+    for (int d = 0; d < ndim; ++d) {
+      coord[d] = r / strides[d];
+      r %= strides[d];
+    }
+  };
+
+  // 2. regional minima: plateau BFS; plateau is a minimum iff no strictly
+  // lower neighbor anywhere along it.
+  std::memset(out, 0, n * sizeof(i32));
+  std::vector<i32> state(n, 0);  // 0 unvisited, 1 in-plateau, 2 done
+  i32 next_label = 0;
+  std::vector<i64> plateau;
+  std::queue<i64> bfs;
+  for (i64 p0 = 0; p0 < n; ++p0) {
+    if (state[p0]) continue;
+    // explore plateau of p0
+    plateau.clear();
+    bool is_min = true;
+    float v = work[p0];
+    bfs.push(p0);
+    state[p0] = 1;
+    while (!bfs.empty()) {
+      i64 p = bfs.front();
+      bfs.pop();
+      plateau.push_back(p);
+      decode(p);
+      for (int d = 0; d < ndim; ++d) {
+        for (int sgn = -1; sgn <= 1; sgn += 2) {
+          if (sgn < 0 ? coord[d] == 0 : coord[d] + 1 == dims[d]) continue;
+          i64 q = p + sgn * strides[d];
+          if (work[q] < v) {
+            is_min = false;
+          } else if (work[q] == v && !state[q]) {
+            state[q] = 1;
+            bfs.push(q);
+          }
+        }
+      }
+    }
+    if (is_min) {
+      ++next_label;
+      for (i64 p : plateau) out[p] = next_label;
+    }
+    for (i64 p : plateau) state[p] = 2;
+  }
+
+  // 3. Meyer flood: seed queue with labeled pixels' unlabeled neighbors.
+  std::priority_queue<FloodEntry, std::vector<FloodEntry>,
+                      std::greater<FloodEntry>>
+      pq;
+  i64 seq = 0;
+  std::vector<char> queued(n, 0);
+  for (i64 p = 0; p < n; ++p) {
+    if (out[p] == 0) continue;
+    decode(p);
+    for (int d = 0; d < ndim; ++d) {
+      for (int sgn = -1; sgn <= 1; sgn += 2) {
+        if (sgn < 0 ? coord[d] == 0 : coord[d] + 1 == dims[d]) continue;
+        i64 q = p + sgn * strides[d];
+        if (out[q] == 0 && !queued[q]) {
+          queued[q] = 1;
+          pq.push(FloodEntry{work[q], seq++, q});
+        }
+      }
+    }
+  }
+  while (!pq.empty()) {
+    FloodEntry e = pq.top();
+    pq.pop();
+    i64 p = e.pixel;
+    if (out[p] != 0) continue;
+    // adopt label of any labeled neighbor (first found in canonical order)
+    decode(p);
+    i32 lab = 0;
+    for (int d = 0; d < ndim && !lab; ++d) {
+      for (int sgn = -1; sgn <= 1; sgn += 2) {
+        if (sgn < 0 ? coord[d] == 0 : coord[d] + 1 == dims[d]) continue;
+        i64 q = p + sgn * strides[d];
+        if (out[q] != 0) {
+          lab = out[q];
+          break;
+        }
+      }
+    }
+    out[p] = lab;
+    for (int d = 0; d < ndim; ++d) {
+      for (int sgn = -1; sgn <= 1; sgn += 2) {
+        if (sgn < 0 ? coord[d] == 0 : coord[d] + 1 == dims[d]) continue;
+        i64 q = p + sgn * strides[d];
+        if (out[q] == 0 && !queued[q]) {
+          queued[q] = 1;
+          pq.push(FloodEntry{work[q], seq++, q});
+        }
+      }
+    }
+  }
+  return next_label;
+}
+
+// Connected components of equal-label plateaus (relabeling utility used by
+// labelcc/labelicc equivalents).  4/6-connectivity; labels from 1; masked-out
+// pixels (mask==0) stay 0.  Returns number of components.
+i64 glia_connected_components(const i32* labels, const i32* mask,
+                              const i64* dims, int ndim, i32* out) {
+  std::vector<i64> strides;
+  neighbor_strides(dims, ndim, strides);
+  i64 n = 1;
+  for (int d = 0; d < ndim; ++d) n *= dims[d];
+  std::vector<i64> coord(ndim);
+  auto decode = [&](i64 p) {
+    i64 r = p;
+    for (int d = 0; d < ndim; ++d) {
+      coord[d] = r / strides[d];
+      r %= strides[d];
+    }
+  };
+  std::memset(out, 0, n * sizeof(i32));
+  i32 next = 0;
+  std::queue<i64> bfs;
+  for (i64 p0 = 0; p0 < n; ++p0) {
+    if (out[p0] || (mask && !mask[p0])) continue;
+    ++next;
+    out[p0] = next;
+    bfs.push(p0);
+    while (!bfs.empty()) {
+      i64 p = bfs.front();
+      bfs.pop();
+      decode(p);
+      for (int d = 0; d < ndim; ++d) {
+        for (int sgn = -1; sgn <= 1; sgn += 2) {
+          if (sgn < 0 ? coord[d] == 0 : coord[d] + 1 == dims[d]) continue;
+          i64 q = p + sgn * strides[d];
+          if (!out[q] && labels[q] == labels[p] && (!mask || mask[q])) {
+            out[q] = next;
+            bfs.push(q);
+          }
+        }
+      }
+    }
+  }
+  return next;
+}
+
+}  // extern "C"
