@@ -1,0 +1,648 @@
+"""Hierarchical (merge-tree) feature extraction.
+
+Computes the reference's RegionFeats / BoundaryFeats /
+BoundaryClassificationFeats (code/hmt/bc_feat.hxx, code/type/feat.hxx) for
+ALL 2N-1 tree regions *incrementally* instead of re-traversing pixel sets
+per region (the reference's parfor over regions, main_bc_feat.cxx:59-95):
+
+  - region pixel sets are disjoint unions up the tree, so every region
+    statistic (sum/sumsq/min/max/histogram/bbox) composes child->parent;
+  - one-sided region boundaries are multisets of *base directed pairs*
+    (TRegion::merge cancellation happens on base-pair keys,
+    code/type/region.hxx:68-77): a mutual pair (a,b)/(b,a) dies at the merge
+    node where a's and b's components join (the LCA of the corresponding
+    leaves); non-mutual pairs never die.  Additive boundary stats therefore
+    compose with subtraction of "dying" pair stats at each internal node;
+    boundary min/max uses small-to-large mergeable heaps with lazy deletion.
+
+This file is the exact host oracle; the device (JAX segment-scan) fast path
+lives in glia_tpu/ops/tree_scan.py.
+"""
+
+from __future__ import annotations
+
+import heapq
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..constants import FEPS, sdivide, slog
+from ..graph.rag import Rag
+from ..graph.tree import MergeTree, build_tree
+from .config import FeatureConfig, HistImage
+
+NEG_INF = -np.inf
+POS_INF = np.inf
+
+
+# ---------------------------------------------------------------------------
+# pixel-group statistics
+# ---------------------------------------------------------------------------
+
+def _hist_bin_index(values, n_bins, hist_range):
+    """Reference histc binning (code/util/image_stats.hxx:13-37).
+
+    QUIRK kept: bin bounds are interval*(i+1) WITHOUT adding range.first
+    (image_stats.hxx:19-22), so for lo>0 the bins are shifted; values in
+    (lo, hi) above all bounds fall in no bin (-1 here).
+    values <= lo -> bin 0; values >= hi -> last bin.
+    """
+    lo, hi = hist_range
+    interval = (hi - lo) / n_bins
+    v = np.asarray(values, dtype=np.float64)
+    idx = np.full(v.shape, -1, dtype=np.int64)
+    inside = (v > lo) & (v < hi)
+    with np.errstate(invalid="ignore"):
+        b = np.floor_divide(v, interval).astype(np.int64)
+    # first bound strictly greater than v: v < interval*(i+1) -> i = floor(v/interval)
+    # except exact multiples: v == interval*k -> v < interval*(k+1) -> bin k
+    b = np.clip(b, 0, n_bins - 1)
+    valid_inside = inside & (v < interval * n_bins)
+    idx = np.where(valid_inside, b, idx)
+    idx = np.where(v <= lo, 0, idx)
+    idx = np.where(v >= hi, n_bins - 1, idx)
+    return idx
+
+
+def group_stats(values, group_ids, n_groups, n_bins=0, hist_range=(0.0, 1.0)):
+    """Per-group (count, sum, sumsq, min, max[, hist]) via scatter ops."""
+    values = np.asarray(values, dtype=np.float64)
+    group_ids = np.asarray(group_ids, dtype=np.int64)
+    cnt = np.bincount(group_ids, minlength=n_groups).astype(np.float64)
+    s = np.bincount(group_ids, weights=values, minlength=n_groups)
+    ss = np.bincount(group_ids, weights=values * values, minlength=n_groups)
+    mn = np.full(n_groups, POS_INF)
+    mx = np.full(n_groups, NEG_INF)
+    np.minimum.at(mn, group_ids, values)
+    np.maximum.at(mx, group_ids, values)
+    out = {"cnt": cnt, "sum": s, "sumsq": ss, "min": mn, "max": mx}
+    if n_bins:
+        bins = _hist_bin_index(values, n_bins, hist_range)
+        keep = bins >= 0
+        h = np.zeros((n_groups, n_bins))
+        np.add.at(h, (group_ids[keep], bins[keep]), 1.0)
+        out["hist"] = h
+    return out
+
+
+def _entropy_rows(hist_counts, totals):
+    """stats::entropy of per-row normalized histograms (stats.hxx:144-151).
+
+    totals = group sizes (reference normalizes by points.size(), which may
+    exceed the histogram mass when the lo>0 binning quirk drops values)."""
+    t = np.asarray(totals, dtype=np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        p = hist_counts / np.where(t > 0, t, 1.0)[:, None]
+    p = np.where(t[:, None] > 0, p, 0.0)
+    mask = p > FEPS
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lg = np.where(mask, np.log2(np.where(mask, p, 1.0)), 0.0)
+    return -(p * lg).sum(axis=1)
+
+
+class _LazyHeap:
+    """Mergeable min-heap with lazy deletion over (value, id) pairs."""
+
+    __slots__ = ("h",)
+
+    def __init__(self):
+        self.h: List[Tuple[float, int]] = []
+
+    def push(self, val, pid):
+        heapq.heappush(self.h, (val, pid))
+
+    def absorb(self, other: "_LazyHeap"):
+        if len(other.h) > len(self.h):
+            self.h, other.h = other.h, self.h
+        for item in other.h:
+            heapq.heappush(self.h, item)
+        other.h = []
+
+    def peek_alive(self, dead):
+        h = self.h
+        while h and dead[h[0][1]]:
+            heapq.heappop(h)
+        return h[0][0] if h else None
+
+
+# ---------------------------------------------------------------------------
+# main extractor
+# ---------------------------------------------------------------------------
+
+@dataclass
+class NodeStats:
+    """Raw per-node accumulators (pre-serialization)."""
+
+    area: np.ndarray
+    border: np.ndarray
+    bd: np.ndarray                  # one-sided boundary pixel count
+    bbox_lo: np.ndarray             # [M, D] ITK coords (x fastest)
+    bbox_hi: np.ndarray
+    vp: np.ndarray                  # [M, nT] pb>=thresh boundary counts
+    r_stats: List[Dict[str, np.ndarray]]    # per r_image region stats
+    rl_hist: List[np.ndarray]               # per rl_image hist counts [M, bins]
+    b_stats: List[Dict[str, np.ndarray]]    # per b_image boundary stats
+    saliency: Optional[np.ndarray]          # [M] or None
+
+
+class TreeFeatures:
+    def __init__(self, rag: Rag, order, cfg: FeatureConfig,
+                 saliencies=None):
+        self.rag = rag
+        self.cfg = cfg
+        self.order = np.asarray(order, dtype=np.int64).reshape(-1, 3)
+        self.tree = build_tree(self.order)
+        # node universe: tree nodes + isolated RAG regions not in the order
+        key2node = {int(k): i for i, k in enumerate(self.tree.keys)}
+        extra = [int(k) for k in rag.keys if int(k) not in key2node]
+        self.node_keys = np.concatenate(
+            [self.tree.keys, np.asarray(extra, dtype=np.int64)])
+        for j, k in enumerate(extra):
+            key2node[k] = self.tree.n_nodes + j
+        self.key2node = key2node
+        self.M = len(self.node_keys)
+        self.ndim = len(rag.shape)
+        self._saliencies = saliencies
+        self._compute()
+
+    # -- setup helpers ---------------------------------------------------
+
+    def _leaf_region_scatter(self):
+        rag = self.rag
+        if rag.region_ptr is None:
+            raise ValueError("RAG must be built with contour_only=False "
+                             "for feature extraction")
+        rid = np.repeat(np.arange(rag.n_regions), np.diff(rag.region_ptr))
+        node_of_region = np.array(
+            [self.key2node[int(k)] for k in rag.keys], dtype=np.int64)
+        return node_of_region[rid], rag.region_pixels
+
+    def _pixel_coords(self, flat_idx):
+        """ITK-order coords: coord[0]=x (last numpy axis), etc."""
+        shape = self.rag.shape
+        coords = np.unravel_index(flat_idx, shape)
+        # numpy axis ndim-1 is ITK dim 0
+        return np.stack([coords[self.ndim - 1 - d] for d in range(self.ndim)],
+                        axis=1).astype(np.float64)
+
+    def _compute(self):
+        rag, cfg, tree = self.rag, self.cfg, self.tree
+        M, D = self.M, self.ndim
+        nT = len(cfg.boundary_thresholds)
+        pb = np.asarray(cfg.pb_image, dtype=np.float64).ravel()
+
+        # ---------- leaf region stats ----------
+        nid, pix = self._leaf_region_scatter()
+        area = np.zeros(M)
+        np.add.at(area, nid, 1.0)
+        coords = self._pixel_coords(pix)
+        bbox_lo = np.full((M, D), POS_INF)
+        bbox_hi = np.full((M, D), NEG_INF)
+        for d in range(D):
+            np.minimum.at(bbox_lo[:, d], nid, coords[:, d])
+            np.maximum.at(bbox_hi[:, d], nid, coords[:, d])
+
+        r_stats = []
+        for img in cfg.r_images:
+            vals = np.asarray(img.image, dtype=np.float64).ravel()[pix]
+            r_stats.append(group_stats(vals, nid, M, img.hist_bins,
+                                       img.hist_range))
+        rl_hist = []
+        for img in cfg.rl_images:
+            vals = np.asarray(img.image, dtype=np.float64).ravel()[pix]
+            st = group_stats(vals, nid, M, img.hist_bins, img.hist_range)
+            rl_hist.append(st["hist"])
+
+        # ---------- border ----------
+        border = np.zeros(M)
+        border_nid = np.array(
+            [self.key2node[int(k)] for k in rag.keys], dtype=np.int64)
+        np.add.at(border, border_nid, np.diff(rag.border_ptr).astype(np.float64))
+
+        # ---------- directed pair stats ----------
+        Ed = len(rag.dir_pairs)
+        dpid = np.repeat(np.arange(Ed), np.diff(rag.dir_ptr))
+        dp_pb = pb[rag.dir_pixels]
+        dp_cnt = np.diff(rag.dir_ptr).astype(np.float64)
+        dp_vp = np.zeros((Ed, nT))
+        for t, th in enumerate(cfg.boundary_thresholds):
+            np.add.at(dp_vp[:, t], dpid, (dp_pb >= th).astype(np.float64))
+        dp_b = []
+        for img in cfg.b_images:
+            vals = np.asarray(img.image, dtype=np.float64).ravel()[rag.dir_pixels]
+            dp_b.append(group_stats(vals, dpid, Ed, img.hist_bins,
+                                    img.hist_range))
+
+        # ---------- pair liveness: LCA of each mutual edge ----------
+        # map base keys -> leaf node; depth array for LCA walks
+        depth = tree.depth_vector()
+        parent = tree.parent
+
+        def lca(i, j):
+            while i != j:
+                if depth[i] >= depth[j]:
+                    i = int(parent[i])
+                else:
+                    j = int(parent[j])
+                if i < 0 or j < 0:
+                    return -1
+            return i
+
+        # classify directed pairs: mutual (edge exists both ways) vs not
+        dir_code = (rag.dir_pairs[:, 0] << 32) | rag.dir_pairs[:, 1]
+        rev_code = (rag.dir_pairs[:, 1] << 32) | rag.dir_pairs[:, 0]
+        sorted_codes = np.sort(dir_code)
+        mutual = np.searchsorted(sorted_codes, rev_code) < len(sorted_codes)
+        mutual &= sorted_codes[
+            np.minimum(np.searchsorted(sorted_codes, rev_code),
+                       len(sorted_codes) - 1)] == rev_code
+
+        self.dp_lca = np.full(Ed, -1, dtype=np.int64)
+        tree_n = tree.n_nodes
+        for e in range(Ed):
+            a, b = int(rag.dir_pairs[e, 0]), int(rag.dir_pairs[e, 1])
+            na, nb = self.key2node.get(a, -1), self.key2node.get(b, -1)
+            if na < 0 or nb < 0 or na >= tree_n or nb >= tree_n:
+                continue
+            self.dp_lca[e] = lca(na, nb)
+        self.dp_mutual = mutual
+
+        # dying lists per internal node: mutual pairs die at their LCA
+        dying: Dict[int, List[int]] = {}
+        for e in range(Ed):
+            if mutual[e] and self.dp_lca[e] >= 0:
+                dying.setdefault(int(self.dp_lca[e]), []).append(e)
+        self.dying = dying
+
+        # leaf one-sided boundary init: every directed pair (a,b) belongs to
+        # leaf node of a
+        own_node = np.array(
+            [self.key2node.get(int(a), -1) for a in rag.dir_pairs[:, 0]],
+            dtype=np.int64)
+        bd = np.zeros(M)
+        vp = np.zeros((M, nT))
+        b_stats = [
+            {"cnt": np.zeros(M), "sum": np.zeros(M), "sumsq": np.zeros(M),
+             "min": np.full(M, POS_INF), "max": np.full(M, NEG_INF),
+             "hist": np.zeros((M, img.hist_bins))}
+            for img in cfg.b_images
+        ]
+        valid_dp = own_node >= 0
+        np.add.at(bd, own_node[valid_dp], dp_cnt[valid_dp])
+        np.add.at(vp, own_node[valid_dp], dp_vp[valid_dp])
+        for bi, st in enumerate(dp_b):
+            np.add.at(b_stats[bi]["cnt"], own_node[valid_dp], st["cnt"][valid_dp])
+            np.add.at(b_stats[bi]["sum"], own_node[valid_dp], st["sum"][valid_dp])
+            np.add.at(b_stats[bi]["sumsq"], own_node[valid_dp],
+                      st["sumsq"][valid_dp])
+            np.add.at(b_stats[bi]["hist"], own_node[valid_dp],
+                      st["hist"][valid_dp])
+            np.minimum.at(b_stats[bi]["min"], own_node[valid_dp],
+                          st["min"][valid_dp])
+            np.maximum.at(b_stats[bi]["max"], own_node[valid_dp],
+                          st["max"][valid_dp])
+
+        # min/max heaps per component (small-to-large)
+        n_b = len(cfg.b_images)
+        dead = np.zeros(Ed, dtype=bool)
+        heaps_min = [[_LazyHeap() for _ in range(M)] for _ in range(n_b)]
+        heaps_max = [[_LazyHeap() for _ in range(M)] for _ in range(n_b)]
+        for bi, st in enumerate(dp_b):
+            for e in range(Ed):
+                n = own_node[e]
+                if n >= 0 and st["cnt"][e] > 0:
+                    heaps_min[bi][n].push(st["min"][e], e)
+                    heaps_max[bi][n].push(-st["max"][e], e)
+
+        # ---------- bottom-up aggregation over internal tree nodes ----------
+        for i in range(tree_n):
+            l, r = int(tree.left[i]), int(tree.right[i])
+            if l < 0:
+                continue
+            area[i] += area[l] + area[r]
+            border[i] += border[l] + border[r]
+            bbox_lo[i] = np.minimum(bbox_lo[l], bbox_lo[r])
+            bbox_hi[i] = np.maximum(bbox_hi[l], bbox_hi[r])
+            for st in r_stats:
+                st["cnt"][i] = st["cnt"][l] + st["cnt"][r]
+                st["sum"][i] = st["sum"][l] + st["sum"][r]
+                st["sumsq"][i] = st["sumsq"][l] + st["sumsq"][r]
+                st["min"][i] = min(st["min"][l], st["min"][r])
+                st["max"][i] = max(st["max"][l], st["max"][r])
+                st["hist"][i] = st["hist"][l] + st["hist"][r]
+            for h in rl_hist:
+                h[i] = h[l] + h[r]
+            die = dying.get(i, [])
+            bd[i] = bd[l] + bd[r] - sum(dp_cnt[e] for e in die)
+            vp[i] = vp[l] + vp[r]
+            for e in die:
+                vp[i] -= dp_vp[e]
+                dead[e] = True
+            for bi in range(n_b):
+                st, dst = dp_b[bi], b_stats[bi]
+                dst["cnt"][i] = dst["cnt"][l] + dst["cnt"][r]
+                dst["sum"][i] = dst["sum"][l] + dst["sum"][r]
+                dst["sumsq"][i] = dst["sumsq"][l] + dst["sumsq"][r]
+                dst["hist"][i] = dst["hist"][l] + dst["hist"][r]
+                for e in die:
+                    dst["cnt"][i] -= st["cnt"][e]
+                    dst["sum"][i] -= st["sum"][e]
+                    dst["sumsq"][i] -= st["sumsq"][e]
+                    dst["hist"][i] -= st["hist"][e]
+                hm = heaps_min[bi][i]
+                hm.absorb(heaps_min[bi][l])
+                hm.absorb(heaps_min[bi][r])
+                hx = heaps_max[bi][i]
+                hx.absorb(heaps_max[bi][l])
+                hx.absorb(heaps_max[bi][r])
+                mn = hm.peek_alive(dead)
+                mx = hx.peek_alive(dead)
+                dst["min"][i] = mn if mn is not None else POS_INF
+                dst["max"][i] = -mx if mx is not None else NEG_INF
+
+        # saliency map (genSaliencyMap, bc_feat.hxx:13-26)
+        sal = None
+        if self._saliencies is not None:
+            saliencies = np.asarray(self._saliencies, dtype=np.float64)
+            sal = np.full(M, cfg.init_saliency)
+            internal = np.nonzero(~tree.is_leaf)[0]
+            sal[internal] = saliencies[: len(internal)] + cfg.saliency_bias
+
+        self.stats = NodeStats(
+            area=area, border=border, bd=bd, bbox_lo=bbox_lo,
+            bbox_hi=bbox_hi, vp=vp, r_stats=r_stats, rl_hist=rl_hist,
+            b_stats=b_stats, saliency=sal,
+        )
+        self._dp_cnt = dp_cnt
+        self._dp_vp = dp_vp
+        self._dp_b = dp_b
+        self._own_node = own_node
+
+    # -- serialization ---------------------------------------------------
+
+    def _image_feats_block(self, st, idx, n_bins):
+        """ImageFeats serialize (feat.hxx:846-855): [hist?] entropy,
+        [median?] mean, stddev, min, max.  Empty sets -> zeros
+        (ImageRealFeats early-return, feat.hxx:703)."""
+        cfg = self.cfg
+        cnt = st["cnt"][idx]
+        ok = cnt > 0
+        mean = np.where(ok, st["sum"][idx] / np.where(ok, cnt, 1), 0.0)
+        var = np.where(ok, st["sumsq"][idx] / np.where(ok, cnt, 1)
+                       - mean * mean, 0.0)
+        std = np.sqrt(np.maximum(var, 0.0))
+        mn = np.where(ok, st["min"][idx], 0.0)
+        mx = np.where(ok, st["max"][idx], 0.0)
+        ent = _entropy_rows(st["hist"][idx], cnt)
+        ent = np.where(ok, ent, 0.0)
+        cols = []
+        if cfg.histogram_as_feats:
+            h = st["hist"][idx] / np.where(ok, cnt, 1)[:, None]
+            h = np.where(ok[:, None], h, 0.0)
+            cols.append(h)
+        cols.append(ent[:, None])
+        if cfg.median_as_feats:
+            raise NotImplementedError(
+                "median_as_feats requires pixel multiset tracking; "
+                "use the exact (non-hierarchical) extractor")
+        cols += [mean[:, None], std[:, None], mn[:, None], mx[:, None]]
+        return np.concatenate(cols, axis=1)
+
+    def _label_feats_block(self, hist, idx, totals):
+        cfg = self.cfg
+        cnt = totals[idx]
+        ok = cnt > 0
+        ent = np.where(ok, _entropy_rows(hist[idx], cnt), 0.0)
+        if cfg.histogram_as_feats:
+            h = hist[idx] / np.where(ok, cnt, 1)[:, None]
+            h = np.where(ok[:, None], h, 0.0)
+            return np.concatenate([h, ent[:, None]], axis=1)
+        return ent[:, None]
+
+    def region_features(self, with_saliency=None) -> np.ndarray:
+        """RegionFeats matrix [M, Dr] in reference serialize order
+        (bc_feat.hxx:71-80)."""
+        cfg, st = self.cfg, self.stats
+        M, D = self.M, self.ndim
+        idx = np.arange(M)
+        nA, nL = cfg.normalizing_area, cfg.normalizing_length
+
+        area_raw = st.area
+        perim_raw = st.bd + st.border
+        with np.errstate(divide="ignore", invalid="ignore"):
+            compact = np.where(
+                np.abs(area_raw) >= FEPS,
+                np.power(perim_raw, D / (D - 1.0)) / np.where(
+                    np.abs(area_raw) >= FEPS, area_raw, 1.0),
+                0.0)
+        area = area_raw / nA
+        perim = perim_raw / nL
+        # bbox size = hi - lo (reference quirk: no +1, alg/geometry.hxx:36-39)
+        bsz = st.bbox_hi - st.bbox_lo
+        bsz = np.where(np.isfinite(bsz), bsz, 0.0)
+        bbox_area = np.prod(bsz, axis=1) / nA
+        bsz_n = bsz / nL
+        vp = st.vp / nL
+        rvp = sdivide(st.vp, st.bd[:, None], 0.0)
+        cols = [area[:, None], perim[:, None], compact[:, None],
+                bbox_area[:, None], bsz_n, vp, rvp]
+        if cfg.use_log_shape:
+            # RegionShapeFeats::log + ImageRegionShapeFeats::log
+            # (feat.hxx:46-52, 544-548): log area/perim/bboxArea/bboxSize/
+            # validPerims; compactness and rValidPerims stay linear.
+            cols[0] = slog(cols[0], 0.0)
+            cols[1] = slog(cols[1], 0.0)
+            cols[3] = slog(cols[3], 0.0)
+            cols[4] = slog(cols[4], 0.0)
+            cols[5] = slog(cols[5], 0.0)
+        for i, img in enumerate(cfg.r_images):
+            cols.append(self._image_feats_block(st.r_stats[i], idx,
+                                                img.hist_bins))
+        for i, img in enumerate(cfg.rl_images):
+            cols.append(self._label_feats_block(st.rl_hist[i], idx, st.area))
+        for i, img in enumerate(cfg.b_images):
+            cols.append(self._image_feats_block(st.b_stats[i], idx,
+                                                img.hist_bins))
+        if st.saliency is not None and with_saliency is not False:
+            cols.append(st.saliency[:, None])
+        return np.concatenate(cols, axis=1)
+
+    # ---- pair-boundary (per-merge) stats -------------------------------
+
+    def _merge_boundary_stats(self):
+        """Per-merge pair boundary = all directed pairs whose LCA is that
+        merge's node (getBoundary over both sides, util/struct.hxx:11-16)."""
+        cfg = self.cfg
+        n = len(self.order)
+        nT = len(cfg.boundary_thresholds)
+        tree = self.tree
+        node_of_merge = np.nonzero(~tree.is_leaf)[0]
+        merge_of_node = {int(nd): mi for mi, nd in enumerate(node_of_merge)}
+        cnt = np.zeros(n)
+        vp = np.zeros((n, nT))
+        b = [
+            {"cnt": np.zeros(n), "sum": np.zeros(n), "sumsq": np.zeros(n),
+             "min": np.full(n, POS_INF), "max": np.full(n, NEG_INF),
+             "hist": np.zeros((n, img.hist_bins))}
+            for img in cfg.b_images
+        ]
+        for e in range(len(self.rag.dir_pairs)):
+            nd = int(self.dp_lca[e])
+            mi = merge_of_node.get(nd, -1)
+            if mi < 0:
+                continue
+            cnt[mi] += self._dp_cnt[e]
+            vp[mi] += self._dp_vp[e]
+            for bi, st in enumerate(self._dp_b):
+                b[bi]["cnt"][mi] += st["cnt"][e]
+                b[bi]["sum"][mi] += st["sum"][e]
+                b[bi]["sumsq"][mi] += st["sumsq"][e]
+                b[bi]["hist"][mi] += st["hist"][e]
+                if st["cnt"][e] > 0:
+                    b[bi]["min"][mi] = min(b[bi]["min"][mi], st["min"][e])
+                    b[bi]["max"][mi] = max(b[bi]["max"][mi], st["max"][e])
+        return cnt, vp, b
+
+    def boundary_features(self) -> np.ndarray:
+        """BoundaryFeats matrix [n_merges, Db] (bc_feat.hxx:183-215), with
+        the r0/r1 area-ordering applied (main_bc_feat.cxx:86-89)."""
+        cfg, st = self.cfg, self.stats
+        tree = self.tree
+        n = len(self.order)
+        nL = cfg.normalizing_length
+        node_of_merge = np.nonzero(~tree.is_leaf)[0]
+        n0 = tree.left[node_of_merge].astype(np.int64)
+        n1 = tree.right[node_of_merge].astype(np.int64)
+        n2 = node_of_merge.astype(np.int64)
+
+        # area ordering: region 0 = smaller area (main_bc_feat.cxx:86-89);
+        # note comparison uses *normalized* shape areas
+        a0 = st.area[n0] / cfg.normalizing_area
+        a1 = st.area[n1] / cfg.normalizing_area
+        swap = a0 > a1
+        n0s = np.where(swap, n1, n0)
+        n1s = np.where(swap, n0, n1)
+        self._bc_n0, self._bc_n1, self._bc_n2 = n0s, n1s, n2
+
+        area0 = st.area[n0s] / cfg.normalizing_area
+        area1 = st.area[n1s] / cfg.normalizing_area
+        perim0 = (st.bd + st.border)[n0s] / nL
+        perim1 = (st.bd + st.border)[n1s] / nL
+
+        bcnt, bvp, bst = self._merge_boundary_stats()
+
+        area_diff = np.abs(area0 - area1)
+        r_area0 = sdivide(area_diff, area0, 0.0)
+        r_area1 = sdivide(area_diff, area1, 0.0)
+        perim_diff = np.abs(perim0 - perim1)
+        r_perim0 = sdivide(perim_diff, perim0, 0.0)
+        r_perim1 = sdivide(perim_diff, perim1, 0.0)
+        blen = np.ceil(bcnt / 2.0) / nL
+        r_bl_a0 = sdivide(blen, area0, 0.0)
+        r_bl_a1 = sdivide(blen, area1, 0.0)
+        r_bl_p0 = sdivide(blen, perim0, 0.0)
+        r_bl_p1 = sdivide(blen, perim1, 0.0)
+        cols = [area_diff, r_area0, r_area1, perim_diff, r_perim0, r_perim1,
+                blen, r_bl_a0, r_bl_a1, r_bl_p0, r_bl_p1]
+        cols = [c[:, None] for c in cols]
+        vbl = np.ceil(bvp / 2.0) / nL
+        cols.append(vbl)
+        cols.append(sdivide(vbl, blen[:, None], 0.0))
+        cols.append(sdivide(vbl, perim0[:, None], 0.0))
+        cols.append(sdivide(vbl, perim1[:, None], 0.0))
+        if cfg.use_log_shape:
+            # RegionShapeIntraDiffFeats::log (feat.hxx:150-153,531-535):
+            # log areaDiff, perimDiff, boundaryLength, validBoundaryLengths
+            cols[0] = slog(cols[0], 0.0)
+            cols[3] = slog(cols[3], 0.0)
+            cols[6] = slog(cols[6], 0.0)
+            cols[11] = slog(cols[11], 0.0)
+
+        # per r_image ImageDiffFeats (feat.hxx:886-899 + 762-800)
+        for i, img in enumerate(cfg.r_images):
+            rst = st.r_stats[i]
+            f0 = self._image_feats_block(rst, n0s, img.hist_bins)
+            f1 = self._image_feats_block(rst, n1s, img.hist_bins)
+            h0 = rst["hist"][n0s] / np.maximum(rst["cnt"][n0s], 1)[:, None]
+            h1 = rst["hist"][n1s] / np.maximum(rst["cnt"][n1s], 1)[:, None]
+            l1 = np.abs(h0 - h1).sum(axis=1)
+            x2 = (np.square(h0 - h1) / (h0 + h1 + FEPS)).sum(axis=1)
+            # layout of f0/f1 (no hist/median): [entropy, mean, std, min, max]
+            ent_d = np.abs(f0[:, 0] - f1[:, 0])
+            mean_d = np.abs(f0[:, 1] - f1[:, 1])
+            std_d = np.abs(f0[:, 2] - f1[:, 2])
+            min_d = np.abs(f0[:, 3] - f1[:, 3])
+            max_d = np.abs(f0[:, 4] - f1[:, 4])
+            cols.append(np.stack([l1, x2, ent_d, mean_d, std_d,
+                                  min_d, max_d], axis=1))
+        # per rl_image ImageLabelDiffFeats (feat.hxx:645-658)
+        for i, img in enumerate(cfg.rl_images):
+            h = st.rl_hist[i]
+            c0 = np.maximum(st.area[n0s], 1)[:, None]
+            c1 = np.maximum(st.area[n1s], 1)[:, None]
+            h0 = h[n0s] / c0
+            h1 = h[n1s] / c1
+            l1 = np.abs(h0 - h1).sum(axis=1)
+            x2 = (np.square(h0 - h1) / (h0 + h1 + FEPS)).sum(axis=1)
+            e0 = _entropy_rows(h[n0s], st.area[n0s])
+            e1 = _entropy_rows(h[n1s], st.area[n1s])
+            cols.append(np.stack([l1, x2, np.abs(e0 - e1)], axis=1))
+        # per b_image ImageFeats over the pair boundary
+        for bi, img in enumerate(cfg.b_images):
+            cols.append(self._image_feats_block(bst[bi], np.arange(n),
+                                                img.hist_bins))
+        # saliency pair
+        if st.saliency is not None:
+            d02 = np.abs(st.saliency[n0s] - st.saliency[n2])
+            d12 = np.abs(st.saliency[n1s] - st.saliency[n2])
+            cols.append(np.minimum(d02, d12)[:, None])
+            cols.append(np.maximum(d02, d12)[:, None])
+        return np.concatenate(cols, axis=1)
+
+    def bc_features(self) -> np.ndarray:
+        """BoundaryClassificationFeats [n_merges, Db + 3*Dr]
+        (bc_feat.hxx:219-243): boundary ++ region0 ++ region1 ++ merged."""
+        bf = self.boundary_features()
+        rf = self.region_features()
+        return np.concatenate(
+            [bf, rf[self._bc_n0], rf[self._bc_n1], rf[self._bc_n2]], axis=1)
+
+    def simple_features(self) -> np.ndarray:
+        """selectFeatures "arXiv paper" subset (bc_feat.hxx:247-279)."""
+        cfg, st = self.cfg, self.stats
+        bf = self.boundary_features()  # also sets _bc_n*
+        n0, n1, n2 = self._bc_n0, self._bc_n1, self._bc_n2
+        nT = len(cfg.boundary_thresholds)
+        area0 = st.area[n0] / cfg.normalizing_area
+        area1 = st.area[n1] / cfg.normalizing_area
+        perim0 = (st.bd + st.border)[n0] / cfg.normalizing_length
+        perim1 = (st.bd + st.border)[n1] / cfg.normalizing_length
+        if cfg.use_log_shape:
+            area0 = slog(area0, 0.0)
+            area1 = slog(area1, 0.0)
+            perim0 = slog(perim0, 0.0)
+            perim1 = slog(perim1, 0.0)
+        blen = bf[:, 6]
+        cols = [area0, area1, perim0, perim1, blen]
+        # per b_image boundary mean: locate in bf layout
+        shape_dim = 11 + 4 * nT
+        per_r = 7 + (1 if cfg.median_as_feats else 0)
+        off = shape_dim + per_r * len(cfg.r_images) + 3 * len(cfg.rl_images)
+        for bi, img in enumerate(cfg.b_images):
+            base = off + sum(cfg.image_feats_dim(cfg.b_images[j])
+                             for j in range(bi))
+            mean_col = base + cfg.label_feats_dim(img)  # first real feat
+            cols.append(bf[:, mean_col])
+        # per r_image: meanDiff, histL1, histX2, entropyDiff
+        for ri in range(len(cfg.r_images)):
+            base = shape_dim + per_r * ri
+            cols.append(bf[:, base + 3])  # meanDiff
+            cols.append(bf[:, base + 0])  # histDistL1
+            cols.append(bf[:, base + 1])  # histDistX2
+            cols.append(bf[:, base + 2])  # entropyDiff
+        for li in range(len(cfg.rl_images)):
+            base = shape_dim + per_r * len(cfg.r_images) + 3 * li
+            cols.append(bf[:, base + 0])
+            cols.append(bf[:, base + 1])
+        return np.stack(cols, axis=1)
