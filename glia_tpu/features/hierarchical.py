@@ -40,29 +40,7 @@ POS_INF = np.inf
 # pixel-group statistics
 # ---------------------------------------------------------------------------
 
-def _hist_bin_index(values, n_bins, hist_range):
-    """Reference histc binning (code/util/image_stats.hxx:13-37).
-
-    QUIRK kept: bin bounds are interval*(i+1) WITHOUT adding range.first
-    (image_stats.hxx:19-22), so for lo>0 the bins are shifted; values in
-    (lo, hi) above all bounds fall in no bin (-1 here).
-    values <= lo -> bin 0; values >= hi -> last bin.
-    """
-    lo, hi = hist_range
-    interval = (hi - lo) / n_bins
-    v = np.asarray(values, dtype=np.float64)
-    idx = np.full(v.shape, -1, dtype=np.int64)
-    inside = (v > lo) & (v < hi)
-    with np.errstate(invalid="ignore"):
-        b = np.floor_divide(v, interval).astype(np.int64)
-    # first bound strictly greater than v: v < interval*(i+1) -> i = floor(v/interval)
-    # except exact multiples: v == interval*k -> v < interval*(k+1) -> bin k
-    b = np.clip(b, 0, n_bins - 1)
-    valid_inside = inside & (v < interval * n_bins)
-    idx = np.where(valid_inside, b, idx)
-    idx = np.where(v <= lo, 0, idx)
-    idx = np.where(v >= hi, n_bins - 1, idx)
-    return idx
+from .._histutil import hist_bin_index as _hist_bin_index  # shared binning
 
 
 def group_stats(values, group_ids, n_groups, n_bins=0, hist_range=(0.0, 1.0)):
