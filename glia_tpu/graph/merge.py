@@ -114,6 +114,7 @@ def greedy_merge_order(
     policy: str = "median",
     fcond: Optional[Callable] = None,
     track_sizes: bool = False,
+    on_merge: Optional[Callable] = None,
 ):
     """Serial exact greedy merge.
 
@@ -128,6 +129,9 @@ def greedy_merge_order(
         is a dict cache for region mean-pb lookups (used by pre_merge).
     track_sizes : also maintain region sizes even if the policy doesn't
         need them (for fcond).
+    on_merge : optional callback fn(r0, r1, r2) fired after each committed
+        merge (lets fcond closures maintain per-region state, e.g. the
+        pre_merge region-mean-pb cache).
 
     Returns (order [n,3] int64, saliencies [n] float64).  Saliencies are the
     recorded queue keys, i.e. the *negated* statistic, matching the saliency
@@ -205,6 +209,8 @@ def greedy_merge_order(
 
         if need_sizes:
             sizes[r2] = sizes.get(r0, 0) + sizes.get(r1, 0)
+        if on_merge is not None:
+            on_merge(r0, r1, r2)
 
         # remove the merged edge
         del table[(r0, r1)]

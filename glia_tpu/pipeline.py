@@ -1,0 +1,164 @@
+"""High-level HMT pipeline API.
+
+Replaces the reference's file bus of CLI binaries (SURVEY.md section 3.5)
+with in-memory array stages:
+
+  watershed -> pre_merge -> merge_order (pb or classifier) -> features +
+  labels -> train (RF / MLP / SSHMT) -> merge probs -> segment (greedy/CCM)
+  -> eval (VI / adapted Rand)
+
+Each function mirrors one reference executable; dimension (2D/3D) is a
+runtime property of the arrays, not a compile flag.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+import numpy as np
+
+from .constants import BG_VAL, sdivide
+from .features.config import FeatureConfig
+from .features.hierarchical import TreeFeatures
+from .features.labels import bc_labels
+from .graph.merge import apply_merge_order, greedy_merge_order
+from .graph.rag import build_rag
+from .graph.tree import build_tree, node_potentials
+from .infer.ccm import segment_ccm_picks
+from .infer.greedy import resolve_tree_greedy
+from .infer.segment import final_segmentation
+from .metrics import eval_ri, eval_vi
+from .models.forest import ForestModel, predict_label_fraction, train_forest
+from .native import greedy_merge_native, watershed_native
+
+
+def watershed(pb, level=0.0, relabel=False):
+    """gadget/main_watershed.cxx equivalent."""
+    seg = watershed_native(np.asarray(pb, dtype=np.float32), level)
+    if relabel:
+        from .infer.segment import relabel_image
+
+        seg = relabel_image(seg, 1)
+    return seg
+
+
+def pre_merge(labels, pb, size_thresholds=(50,), rpb_threshold=0.5):
+    """gadget/main_pre_merge.cxx: greedily merge regions that are small
+    (< thresholds[0]) or medium (< thresholds[1]) with high mean pb
+    (mostly-membrane fragments), using pooled-mean saliency.
+
+    Returns the relabeled image after all permitted merges.
+    """
+    labels = np.asarray(labels)
+    rag = build_rag(labels, contour_only=False)
+    pbf = np.asarray(pb, dtype=np.float64).ravel()
+
+    # per-region pb sums for the mean-pb condition, maintained over merges
+    pb_sum = {}
+    for i, k in enumerate(rag.keys):
+        s, e = int(rag.region_ptr[i]), int(rag.region_ptr[i + 1])
+        pb_sum[int(k)] = float(pbf[rag.region_pixels[s:e]].sum())
+
+    t0 = size_thresholds[0]
+    t1 = size_thresholds[1] if len(size_thresholds) > 1 else None
+
+    def fcond(u, v, sizes, _cache):
+        su, sv = sizes[u], sizes[v]
+        k0, k1 = (u, v) if su <= sv else (v, u)
+        s0, s1 = min(su, sv), max(su, sv)
+        if s0 < t0:
+            return True
+        if t1 is not None:
+            if s0 < t1 and sdivide(pb_sum[k0], s0, 0.0) > rpb_threshold:
+                return True
+            if s1 < t1 and sdivide(pb_sum[k1], s1, 0.0) > rpb_threshold:
+                return True
+        return False
+
+    def on_merge(r0, r1, r2):
+        pb_sum[r2] = pb_sum[r0] + pb_sum[r1]
+
+    order, _ = greedy_merge_order(
+        rag, pb, policy="mean", fcond=fcond, track_sizes=True,
+        on_merge=on_merge)
+    return apply_merge_order(labels, order)
+
+
+@dataclass
+class HmtModel:
+    """Trained boundary classifier + feature configuration knobs."""
+
+    forest: ForestModel
+    n_bins: int = 16
+    boundary_thresholds: tuple = (0.2, 0.5, 0.8)
+    policy: str = "median"
+
+
+def _features_for(seg, pb, intensity, model_cfg, order, sals):
+    cfg = FeatureConfig.standard(
+        pb, intensity, n_bins=model_cfg.n_bins,
+        boundary_thresholds=model_cfg.boundary_thresholds)
+    rag = build_rag(seg, contour_only=False)
+    tf = TreeFeatures(rag, order, cfg, saliencies=sals)
+    return tf.bc_features()
+
+
+def hmt_train(slices, policy="median", rule="f1", n_trees=100, seed=0,
+              watershed_level=0.05, pre_merge_size=30,
+              n_bins=16) -> HmtModel:
+    """Train the boundary classifier over (pb, intensity, truth) slices.
+
+    slices: sequence of dicts with keys pb, intensity, truth.
+    Pipeline per slice: watershed -> pre_merge -> merge_order_pb ->
+    bc_feat + bc_label -> pooled RF training.
+    """
+    cfg0 = HmtModel(forest=None, n_bins=n_bins)  # type: ignore
+    X, y = [], []
+    for s in slices:
+        seg = watershed(s["pb"], watershed_level)
+        if pre_merge_size:
+            seg = pre_merge(seg, s["pb"], (pre_merge_size,))
+        rag = build_rag(seg, contour_only=False)
+        order, sals = greedy_merge_native(rag, s["pb"], policy=policy)
+        feats = _features_for(seg, s["pb"], s.get("intensity"), cfg0,
+                              order, sals)
+        labels, _, _ = bc_labels(seg, s["truth"], order, rule=rule)
+        X.append(feats)
+        y.append(labels)
+    X = np.concatenate(X)
+    y = np.concatenate(y)
+    forest = train_forest(X, y, n_trees=n_trees, seed=seed)
+    return HmtModel(forest=forest, n_bins=n_bins, policy=policy)
+
+
+def hmt_segment(pb, intensity, model: HmtModel, watershed_level=0.05,
+                pre_merge_size=30, mode="greedy", backend="np"):
+    """Inference: watershed -> pre_merge -> merge order -> merge probs from
+    the classifier -> tree resolution -> final label image."""
+    seg = watershed(pb, watershed_level)
+    if pre_merge_size:
+        seg = pre_merge(seg, pb, (pre_merge_size,))
+    rag = build_rag(seg, contour_only=False)
+    order, sals = greedy_merge_native(rag, pb, policy=model.policy)
+    feats = _features_for(seg, pb, intensity, model, order, sals)
+    # merge probability = vote fraction for label -1 (BC_LABEL_MERGE)
+    probs = predict_label_fraction(model.forest, feats, label=-1,
+                                   backend=backend)
+    tree = build_tree(order)
+    if mode == "greedy":
+        pot = node_potentials(tree, probs)
+        picks = resolve_tree_greedy(tree, pot)
+    elif mode == "ccm":
+        picks = segment_ccm_picks(tree, probs)
+    else:
+        raise ValueError(mode)
+    return final_segmentation(seg, tree, picks), {
+        "seg0": seg, "order": order, "probs": probs, "n_picks": len(picks)}
+
+
+def evaluate(seg, truth):
+    fs, fm, vi = eval_vi(seg, truth)
+    prec, rec, err = eval_ri(seg, truth)
+    return {"vi_split": fs, "vi_merge": fm, "vi": vi,
+            "rand_precision": prec, "rand_recall": rec, "rand_error": err}

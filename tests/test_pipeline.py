@@ -1,0 +1,63 @@
+"""Learned end-to-end HMT pipeline: train on some slices, segment others.
+
+This is the full reference workflow (watershed -> pre_merge ->
+merge_order_pb -> bc_feat/bc_label -> train_rf -> merge probs ->
+segment_greedy/ccm -> eval_vi/eval_ri) as one in-memory pipeline.
+"""
+
+import numpy as np
+import pytest
+
+from glia_tpu.data.synthetic import synthetic_em_slice
+from glia_tpu.pipeline import evaluate, hmt_segment, hmt_train, pre_merge, watershed
+
+
+@pytest.fixture(scope="module")
+def model_and_test_slice():
+    train_slices = [synthetic_em_slice((96, 96), n_cells=16, seed=s)
+                    for s in (1, 2)]
+    test = synthetic_em_slice((96, 96), n_cells=16, seed=99)
+    model = hmt_train(train_slices, n_trees=60, pre_merge_size=20,
+                      watershed_level=0.06)
+    return model, test
+
+
+def test_pre_merge_removes_small_regions():
+    from glia_tpu.graph.rag import build_rag
+
+    data = synthetic_em_slice((64, 64), n_cells=10, seed=4)
+    seg = watershed(data["pb"], 0.02)
+    merged = pre_merge(seg, data["pb"], (30,))
+    uniq, counts = np.unique(merged, return_counts=True)
+    assert len(uniq) < len(np.unique(seg))
+    # every small survivor must be one the boundary table could never
+    # merge: a fragment with no *mutual* boundary in the original RAG
+    # (first-differing-neighbor stealing; boundary_table.hxx:99-103) --
+    # the reference's pre_merge leaves exactly these too.
+    rag = build_rag(seg, contour_only=False)
+    mutual = set(rag.edges.ravel().tolist())
+    survivors_small = uniq[counts < 30]
+    original_keys = set(rag.keys.tolist())
+    for k in survivors_small:
+        assert int(k) in original_keys  # never merged at all
+        assert int(k) not in mutual  # and had no mutual edge to merge over
+
+
+@pytest.mark.parametrize("mode", ["greedy", "ccm"])
+def test_learned_segmentation_beats_watershed(model_and_test_slice, mode):
+    model, test = model_and_test_slice
+    seg, aux = hmt_segment(test["pb"], test["intensity"], model,
+                           watershed_level=0.06, pre_merge_size=20,
+                           mode=mode)
+    base = evaluate(aux["seg0"], test["truth"])
+    ours = evaluate(seg, test["truth"])
+    assert ours["vi"] < base["vi"]
+    assert ours["rand_error"] < base["rand_error"]
+    assert ours["rand_error"] < 0.25
+
+
+def test_probs_are_probabilities(model_and_test_slice):
+    model, test = model_and_test_slice
+    _, aux = hmt_segment(test["pb"], test["intensity"], model,
+                         watershed_level=0.06, pre_merge_size=20)
+    assert ((aux["probs"] >= 0) & (aux["probs"] <= 1)).all()
