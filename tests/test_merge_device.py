@@ -1,0 +1,73 @@
+"""Device merge engines vs the host oracle."""
+
+import numpy as np
+import pytest
+
+from glia_tpu.data.synthetic import synthetic_em_slice
+from glia_tpu.graph.merge import apply_merge_order, greedy_merge_order
+from glia_tpu.graph.merge_device import (
+    edge_mean_arrays,
+    merge_batched_device,
+    merge_serial_device,
+    order_to_keys,
+)
+from glia_tpu.graph.rag import build_rag
+from glia_tpu.metrics import eval_vi
+from glia_tpu.native import watershed_native
+
+
+@pytest.fixture(scope="module")
+def case():
+    data = synthetic_em_slice(shape=(64, 64), n_cells=12, seed=33)
+    seg = watershed_native(data["pb"], level=0.08)
+    rag = build_rag(seg, contour_only=False)
+    return data, seg, rag
+
+
+def test_serial_device_matches_host_mean(case):
+    data, seg, rag = case
+    u, v, s, c = edge_mean_arrays(rag, data["pb"])
+    order_d, sal_d, n = merge_serial_device(u, v, s, c, rag.n_regions)
+    order_keys = order_to_keys(order_d, n, rag)
+    order_h, sal_h = greedy_merge_order(rag, data["pb"], policy="mean")
+    assert n == len(order_h)
+    np.testing.assert_array_equal(order_keys, order_h)
+    np.testing.assert_allclose(np.asarray(sal_d)[:n], sal_h, rtol=1e-12)
+
+
+def test_batched_device_valid_and_complete(case):
+    data, seg, rag = case
+    u, v, s, c = edge_mean_arrays(rag, data["pb"])
+    order_d, sal_d, n = merge_batched_device(u, v, s, c, rag.n_regions)
+    order = np.asarray(order_d)[:n]
+    # validity: every row well-formed, new ids strictly increasing
+    assert (order[:, 2] == rag.n_regions + np.arange(n)).all()
+    assert (order[:, 0] != order[:, 1]).all()
+    # each id is merged at most once
+    used = np.concatenate([order[:, 0], order[:, 1]])
+    assert len(np.unique(used)) == len(used)
+    # applying the full order merges every connected component
+    okeys = order_to_keys(order_d, n, rag)
+    seg_m = apply_merge_order(seg, okeys)
+    # number of remaining labels == number of RAG connected components
+    h_order, _ = greedy_merge_order(rag, data["pb"], policy="mean")
+    seg_h = apply_merge_order(seg, h_order)
+    assert len(np.unique(seg_m)) == len(np.unique(seg_h))
+
+
+def test_batched_vs_serial_quality(case):
+    """Speed-mode merges must track serial quality: compare VI against
+    truth when cutting both orders at the same region count."""
+    data, seg, rag = case
+    u, v, s, c = edge_mean_arrays(rag, data["pb"])
+    order_b, _, nb = merge_batched_device(u, v, s, c, rag.n_regions)
+    order_h, _ = greedy_merge_order(rag, data["pb"], policy="mean")
+    target_regions = 12
+    kb = rag.n_regions - target_regions
+    seg_b = apply_merge_order(seg, order_to_keys(order_b, nb, rag),
+                              threshold_index=kb)
+    seg_h = apply_merge_order(seg, order_h, threshold_index=kb)
+    _, _, vi_b = eval_vi(seg_b, data["truth"])
+    _, _, vi_h = eval_vi(seg_h, data["truth"])
+    # batched order is not identical but must be comparable quality
+    assert vi_b < vi_h + 0.35
