@@ -144,18 +144,22 @@ def merge_batched_device(u, v, s, c, n_regions, max_supersteps=64,
     def body(state):
         step, n_m, u, v, s, c, alive, order, sal = state
         stat = jnp.where(alive, s / jnp.maximum(c, 1.0), BIG)
-        # per-region minimum incident edge, ties by lowest edge index:
-        # pack (stat, idx) into a sortable int64 key
-        stat32 = stat.astype(jnp.float32)
-        bits = jax.lax.bitcast_convert_type(stat32, jnp.int32)
-        # map float bits to monotonic int (all stats are >= 0 here)
-        key = (bits.astype(jnp.int64) << 24) | idx.astype(jnp.int64)
-        big = jnp.iinfo(jnp.int64).max
-        key = jnp.where(alive, key, big)
-        rmin = jnp.full(n_ids, big, jnp.int64)
-        rmin = rmin.at[u].min(key)
-        rmin = rmin.at[v].min(key)
-        is_merge = alive & (rmin[u] == key) & (rmin[v] == key)
+        # per-region minimum incident edge, ties by lowest edge index.
+        # Two-stage int32 scatter-min (no int64 needed on TPU): first the
+        # min stat bits per region (IEEE bits are monotonic for floats>=0),
+        # then min edge index among the min-stat edges.
+        bits = jax.lax.bitcast_convert_type(
+            stat.astype(jnp.float32), jnp.int32)
+        big32 = jnp.int32(2 ** 31 - 1)
+        bits = jnp.where(alive, bits, big32)
+        rbits = jnp.full(n_ids, big32, jnp.int32)
+        rbits = rbits.at[u].min(jnp.where(alive, bits, big32))
+        rbits = rbits.at[v].min(jnp.where(alive, bits, big32))
+        cand = alive & (rbits[u] == bits) & (rbits[v] == bits)
+        ridx = jnp.full(n_ids, E, jnp.int32)
+        ridx = ridx.at[u].min(jnp.where(cand, idx, E))
+        ridx = ridx.at[v].min(jnp.where(cand, idx, E))
+        is_merge = cand & (ridx[u] == idx) & (ridx[v] == idx)
         # assign fresh ids in edge order
         rank = jnp.cumsum(is_merge.astype(jnp.int32)) - 1
         ok = is_merge & (n_m + rank < max_m)
@@ -179,34 +183,29 @@ def merge_batched_device(u, v, s, c, n_regions, max_supersteps=64,
         u = lut[u]
         v = lut[v]
         alive = alive & ~ok & (u != v)
-        # dedupe duplicate pairs: canonical per sorted pair via scatter-min
+        # dedupe duplicate pairs: lexicographic sort on (lo, hi) (int32-safe
+        # multi-key sort), then segment-combine runs of equal pairs
         lo = jnp.minimum(u, v)
         hi = jnp.maximum(u, v)
-        code = lo.astype(jnp.int64) * n_ids + hi
-        code = jnp.where(alive, code, jnp.int64(n_ids) * n_ids + idx)
-        # scatter-min over a hash table of size E*2 would need uniqueness;
-        # use sort-based dedupe: sort by code, segment boundaries where
-        # code changes
-        perm = jnp.argsort(code)
-        code_s = code[perm]
+        # dead edges sort to the end
+        lo_k = jnp.where(alive, lo, jnp.int32(n_ids))
+        hi_k = jnp.where(alive, hi, idx)
+        lo_s, hi_s, u_s, v_s, s_s, c_s, alive_s = jax.lax.sort(
+            (lo_k, hi_k, u, v, s, c, alive), num_keys=2)
         first = jnp.concatenate(
-            [jnp.ones(1, bool), code_s[1:] != code_s[:-1]])
+            [jnp.ones(1, bool),
+             (lo_s[1:] != lo_s[:-1]) | (hi_s[1:] != hi_s[:-1])])
         seg_id = jnp.cumsum(first.astype(jnp.int32)) - 1
-        s_srt = s[perm]
-        c_srt = c[perm]
-        alive_srt = alive[perm]
-        s_seg = jax.ops.segment_sum(jnp.where(alive_srt, s_srt, 0.0),
+        s_seg = jax.ops.segment_sum(jnp.where(alive_s, s_s, 0.0),
                                     seg_id, num_segments=E)
-        c_seg = jax.ops.segment_sum(jnp.where(alive_srt, c_srt, 0.0),
+        c_seg = jax.ops.segment_sum(jnp.where(alive_s, c_s, 0.0),
                                     seg_id, num_segments=E)
-        keep = first & alive_srt
-        s_new = jnp.where(keep, s_seg[seg_id], s_srt)
-        c_new = jnp.where(keep, c_seg[seg_id], c_srt)
-        alive_new = alive_srt & keep
-        inv = jnp.argsort(perm)
-        s = s_new[inv]
-        c = c_new[inv]
-        alive = alive_new[inv]
+        keep = first & alive_s
+        s = jnp.where(keep, s_seg[seg_id], s_s)
+        c = jnp.where(keep, c_seg[seg_id], c_s)
+        u = u_s
+        v = v_s
+        alive = alive_s & keep
         n_m = jnp.minimum(n_m + n_new, max_m)
         return step + 1, n_m, u, v, s, c, alive, order, sal
 
