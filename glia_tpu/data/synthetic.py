@@ -25,14 +25,17 @@ def synthetic_em_slice(shape=(512, 512), n_cells=64, seed=0,
     rng = np.random.default_rng(seed)
     h, w = shape
     centers = rng.uniform(0, 1, size=(n_cells, 2)) * np.array([h, w])
+    # nearest-center labeling via KD-tree (O(P log C)); a per-cell metric
+    # warp is approximated by jittering query coordinates for irregularity
+    from scipy.spatial import cKDTree
+
     yy, xx = np.mgrid[0:h, 0:w]
-    # nearest-center labeling with slight metric warp for irregular shapes
-    scale = rng.uniform(0.7, 1.4, size=n_cells)
-    d = (
-        (yy[None] - centers[:, 0, None, None]) ** 2
-        + (xx[None] - centers[:, 1, None, None]) ** 2
-    ) * scale[:, None, None]
-    truth = (np.argmin(d, axis=0) + 1).astype(np.int32)
+    # spatially-coherent warp field -> irregular but connected cells
+    warp = ndi.gaussian_filter(rng.normal(0, 1, size=(2, h, w)),
+                               (0, 6, 6)) * 12.0
+    pts = np.stack([(yy + warp[0]).ravel(), (xx + warp[1]).ravel()], axis=1)
+    _, idx = cKDTree(centers).query(pts, k=1)
+    truth = (idx.reshape(h, w) + 1).astype(np.int32)
 
     # membrane indicator: pixel differs from +x or +y neighbor
     memb = np.zeros(shape, dtype=np.float32)
@@ -65,13 +68,13 @@ def synthetic_em_stack(shape=(8, 128, 128), n_cells=24, seed=0, **kw):
     rng = np.random.default_rng(seed)
     z, h, w = shape
     centers = rng.uniform(0, 1, size=(n_cells, 3)) * np.array([z * 4, h, w])
+    from scipy.spatial import cKDTree
+
     zz, yy, xx = np.mgrid[0:z, 0:h, 0:w]
-    d = (
-        ((zz[None] * 4 - centers[:, 0, None, None, None]) ** 2)
-        + (yy[None] - centers[:, 1, None, None, None]) ** 2
-        + (xx[None] - centers[:, 2, None, None, None]) ** 2
-    )
-    truth = (np.argmin(d, axis=0) + 1).astype(np.int32)
+    pts = np.stack([zz.ravel() * 4.0, yy.ravel() * 1.0, xx.ravel() * 1.0],
+                   axis=1)
+    _, idx = cKDTree(centers).query(pts, k=1)
+    truth = (idx.reshape(z, h, w) + 1).astype(np.int32)
     slices = []
     for k in range(z):
         s = synthetic_em_slice((h, w), seed=seed + 1000 + k, **kw)
