@@ -79,7 +79,8 @@ def merge_serial_device(u, v, s, c, n_regions, dtype=None):
 
     def body(state):
         i, u, v, s, c, alive, order, sal = state
-        stat = jnp.where(alive, s / jnp.maximum(c, 1.0), jnp.inf)
+        stat = jnp.where(alive, s / jnp.maximum(c, 1.0),
+                         jnp.asarray(jnp.inf, s.dtype))
         e = jnp.argmin(stat).astype(jnp.int32)
         a = u[e]
         b = v[e]
@@ -105,8 +106,13 @@ def merge_serial_device(u, v, s, c, n_regions, dtype=None):
         alive = alive & (~touch | is_can)
         return i + 1, u, v, s, c, alive, order, sal
 
-    i, *_, order, sal = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), u0, v0, s0, c0, alive0, order0, sal0))
+    @jax.jit
+    def run(u0, v0, s0, c0):
+        return jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), u0, v0, s0, c0, alive0, order0, sal0))
+
+    i, *_, order, sal = run(u0, v0, s0, c0)
     return order, sal, int(i)
 
 
@@ -209,9 +215,14 @@ def merge_batched_device(u, v, s, c, n_regions, max_supersteps=64,
         n_m = jnp.minimum(n_m + n_new, max_m)
         return step + 1, n_m, u, v, s, c, alive, order, sal
 
-    st = jax.lax.while_loop(
-        cond, body,
-        (jnp.int32(0), jnp.int32(0), u0, v0, s0, c0, alive0, order0, sal0))
+    @jax.jit
+    def run(u0, v0, s0, c0):
+        return jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), jnp.int32(0), u0, v0, s0, c0, alive0, order0,
+             sal0))
+
+    st = run(u0, v0, s0, c0)
     step, n_m, *_, order, sal = st
     return order, sal, int(n_m)
 
