@@ -195,6 +195,200 @@ def cmd_labelcc(a):
     _write_label(a.output, connected_components_native(_read_label(a.input)))
 
 
+def cmd_merge_order_bc(a):
+    from ..features.config import FeatureConfig
+    from ..graph.merge_bc import greedy_merge_bc
+    from ..graph.rag import build_rag
+    from ..io.text import write_merge_order, write_vector
+    from ..models.forest import ForestModel, predict_label_fraction
+
+    seg = _read_label(a.segImage)
+    pb = _read_real(a.pbImage)
+    intensity = _read_real(a.rawImage) if a.rawImage else None
+    cfg = FeatureConfig.standard(pb, intensity, n_bins=a.bins,
+                                 boundary_thresholds=tuple(a.bt))
+    model = ForestModel.load(a.model)
+    rag = build_rag(seg, contour_only=False)
+
+    def predict(f):
+        return float(predict_label_fraction(model, f[None, :], label=-1)[0])
+
+    order, sals = greedy_merge_bc(rag, cfg, predict)
+    if a.mergeOrder:
+        write_merge_order(a.mergeOrder, order)
+    if a.saliency:
+        write_vector(a.saliency, sals)
+
+
+def cmd_train_sshmt(a):
+    from ..io.text import read_matrix, read_merge_order, read_vector
+    from ..learn.sshmt import SshmtDefaults, train_sshmt
+
+    feats = [read_matrix(f) for f in a.unsFeat]
+    orders = [read_merge_order(f) for f in a.unsOrder]
+    sup_x = np.concatenate([read_matrix(f) for f in a.supFeat]) \
+        if a.supFeat else None
+    sup_y = np.concatenate(
+        [read_vector(f, dtype=np.int64) for f in a.supLabel]) \
+        if a.supLabel else None
+    d = SshmtDefaults(merge_target=a.mergeTarget,
+                      max_path_length=a.maxPathLength,
+                      min_path_length=a.minPathLength)
+    out = train_sshmt(feats, orders, sup_x, sup_y,
+                      classifier=a.classifier,
+                      mlp_hidden=(a.n1, a.n2), wr=a.wr, wu=a.wu, ws=a.ws,
+                      n_sigma_update=a.nSigmaUpdate,
+                      inner_steps=a.innerSteps, optimizer=a.optimizer,
+                      lr=a.step, defaults=d, verbose=a.verbose)
+    np.savetxt(a.model, out["w"])
+
+
+def cmd_pred_logsig(a):
+    from ..io.text import read_matrix, write_vector
+    from ..learn.predict import predict_logsig
+
+    w = np.loadtxt(a.model)
+    X = read_matrix(a.feat)
+    write_vector(a.output, predict_logsig(w, X))
+
+
+def cmd_pred_mlp(a):
+    from ..io.text import read_matrix, write_vector
+    from ..learn.predict import predict_mlp2
+
+    w = np.loadtxt(a.model)
+    X = read_matrix(a.feat)
+    mm = read_matrix(a.minmax)
+    write_vector(a.output, predict_mlp2(w, X, mm, a.n1, a.n2))
+
+
+def cmd_gen_region_pairs(a):
+    from ..link3d.link import gen_region_pairs
+
+    s0 = _read_label(a.s0)
+    s1 = _read_label(a.s1)
+    pairs, _ = gen_region_pairs(s0, s1, a.id0, a.id1,
+                                max_centroid_dist=a.cd)
+    with open(a.output, "w") as f:
+        for (i0, k0), (i1, k1) in pairs:
+            f.write(f"{i0} {k0} {i1} {k1}\n")
+
+
+def _read_pairs(path):
+    rows = np.loadtxt(path, dtype=np.int64, ndmin=2)
+    return [((int(r[0]), int(r[1])), (int(r[2]), int(r[3]))) for r in rows]
+
+
+def cmd_sc_feat(a):
+    from ..features.config import FeatureConfig
+    from ..io.text import write_matrix
+    from ..link3d.link import sc_features
+
+    s0 = _read_label(a.s0)
+    s1 = _read_label(a.s1)
+    pb = _read_real(a.pbImage)
+    cfg = FeatureConfig.standard(pb, n_bins=a.bins)
+    pairs = _read_pairs(a.pairs)
+    write_matrix(a.output, sc_features(s0, s1, cfg, pairs))
+
+
+def cmd_sc_label(a):
+    from ..io.text import write_vector
+    from ..link3d.link import sc_labels
+
+    s0 = _read_label(a.s0)
+    s1 = _read_label(a.s1)
+    t0 = _read_label(a.t0)
+    t1 = _read_label(a.t1)
+    pairs = _read_pairs(a.pairs)
+    labels, _, _ = sc_labels(s0, t0, s1, t1, pairs)
+    write_vector(a.output, labels, fmt="%d")
+
+
+def cmd_link_by_threshold(a):
+    from ..io.text import read_vector
+    from ..link3d.link import link_by_threshold
+
+    pairs = []
+    for f in a.pairs:
+        pairs += _read_pairs(f)
+    scores = np.concatenate([read_vector(f) for f in a.scores])
+    links = link_by_threshold(pairs, scores, a.minScore, a.forceLink)
+    with open(a.output, "w") as f:
+        for (i0, k0), (i1, k1) in links:
+            f.write(f"{i0} {k0} {i1} {k1}\n")
+
+
+def cmd_group_region_profiles(a):
+    from ..io.image import write_image
+    from ..link3d.link import group_region_profiles
+
+    segs = [_read_label(f) for f in a.segImages]
+    links = []
+    for f in a.links:
+        links += _read_pairs(f)
+    vol = group_region_profiles(segs, a.ids, links, relabel=a.relabel)
+    for i in range(vol.shape[0]):
+        _write_label(a.output[i] if len(a.output) > 1 else
+                     a.output[0].replace("%d", str(i)), vol[i])
+
+
+def cmd_eval_init_seg(a):
+    from ..tools import eval_init_seg
+
+    seg = _read_label(a.segImage)
+    truth = _read_label(a.truthImage)
+    prec, rec, err, mapped = eval_init_seg(seg, truth)
+    print(f"{prec:.6g} {rec:.6g} {err:.6g}")
+    if a.output:
+        _write_label(a.output, mapped)
+
+
+def cmd_seg_stats(a):
+    from ..tools import seg_stats
+
+    for k, v in sorted(seg_stats(_read_label(a.segImage),
+                                 include_bg=a.includeBG).items()):
+        print(k, v)
+
+
+def cmd_normalize_sample(a):
+    from ..io.text import read_matrix, write_matrix
+    from ..tools import normalize_samples
+
+    feats = [read_matrix(f) for f in a.input]
+    minmax = read_matrix(a.inputMinMax) if a.inputMinMax else None
+    out, mm = normalize_samples(feats, minmax, a.outputMin, a.outputMax)
+    for f, o in zip(a.output, out):
+        write_matrix(f, o)
+    if a.outputMinMax:
+        write_matrix(a.outputMinMax, mm)
+
+
+def cmd_threshold_image(a):
+    from ..ops.image import threshold_image
+
+    im = _read_real(a.input)
+    _write_label(a.output, threshold_image(im, a.lower, a.upper,
+                                           a.inside, a.outside))
+
+
+def cmd_blur_image(a):
+    from ..io.image import write_image
+    from ..ops.image import blur_image
+
+    out = blur_image(_read_real(a.input), a.sigma)
+    write_image(a.output, (np.clip(out, 0, 1) * 255).astype(np.uint8))
+
+
+def cmd_boundary_image_2d(a):
+    from ..io.image import write_image
+    from ..ops.image import boundary_image_2d
+
+    out = boundary_image_2d(_read_label(a.input))
+    write_image(a.output, (out * 255).astype(np.uint8))
+
+
 def build_parser():
     p = argparse.ArgumentParser(prog="glia_tpu",
                                 description=__doc__,
@@ -297,6 +491,139 @@ def build_parser():
     q.add_argument("-a", "--adapted", type=lambda s: s != "0",
                    default=True)
     q.set_defaults(fn=cmd_eval_ri)
+
+    q = sub.add_parser("merge_order_bc", help="classifier-driven merge order")
+    q.add_argument("-s", "--segImage", required=True)
+    q.add_argument("-p", "--pbImage", required=True)
+    q.add_argument("--rawImage")
+    q.add_argument("-m", "--model", required=True)
+    q.add_argument("--bins", type=int, default=16)
+    q.add_argument("--bt", type=float, nargs="+", default=[0.2, 0.5, 0.8])
+    q.add_argument("-o", "--mergeOrder")
+    q.add_argument("-y", "--saliency")
+    q.set_defaults(fn=cmd_merge_order_bc)
+
+    q = sub.add_parser("train_sshmt", help="semi-supervised training")
+    q.add_argument("--unsFeat", nargs="+", required=True)
+    q.add_argument("--unsOrder", nargs="+", required=True)
+    q.add_argument("--supFeat", nargs="*", default=[])
+    q.add_argument("--supLabel", nargs="*", default=[])
+    q.add_argument("--classifier", default="logsig",
+                   choices=["logsig", "mlp2"])
+    q.add_argument("--n1", type=int, default=10)
+    q.add_argument("--n2", type=int, default=5)
+    q.add_argument("--wr", type=float, default=1.0)
+    q.add_argument("--wu", type=float, default=1.0)
+    q.add_argument("--ws", type=float, default=1.0)
+    q.add_argument("--mergeTarget", type=float, default=0.95)
+    q.add_argument("--maxPathLength", type=int, default=3)
+    q.add_argument("--minPathLength", type=int, default=2)
+    q.add_argument("--nSigmaUpdate", type=int, default=10)
+    q.add_argument("--innerSteps", type=int, default=100)
+    q.add_argument("--optimizer", default="adam",
+                   choices=["adam", "momentum", "gd"])
+    q.add_argument("--step", type=float, default=0.1)
+    q.add_argument("-v", "--verbose", action="store_true")
+    q.add_argument("-m", "--model", required=True)
+    q.set_defaults(fn=cmd_train_sshmt)
+
+    q = sub.add_parser("pred_logsig", help="logsig merge probabilities")
+    q.add_argument("-m", "--model", required=True)
+    q.add_argument("-f", "--feat", required=True)
+    q.add_argument("-o", "--output", required=True)
+    q.set_defaults(fn=cmd_pred_logsig)
+
+    q = sub.add_parser("pred_mlp", help="MLP2 merge probabilities")
+    q.add_argument("-m", "--model", required=True)
+    q.add_argument("-f", "--feat", required=True)
+    q.add_argument("--minmax", required=True)
+    q.add_argument("--n1", type=int, default=10)
+    q.add_argument("--n2", type=int, default=5)
+    q.add_argument("-o", "--output", required=True)
+    q.set_defaults(fn=cmd_pred_mlp)
+
+    q = sub.add_parser("gen_region_pairs", help="cross-section candidates")
+    q.add_argument("--s0", required=True)
+    q.add_argument("--s1", required=True)
+    q.add_argument("--id0", type=int, required=True)
+    q.add_argument("--id1", type=int, required=True)
+    q.add_argument("--cd", type=float, default=-1.0)
+    q.add_argument("-o", "--output", required=True)
+    q.set_defaults(fn=cmd_gen_region_pairs)
+
+    q = sub.add_parser("sc_feat", help="section-pair features")
+    q.add_argument("--s0", required=True)
+    q.add_argument("--s1", required=True)
+    q.add_argument("-p", "--pbImage", required=True)
+    q.add_argument("--pairs", required=True)
+    q.add_argument("--bins", type=int, default=16)
+    q.add_argument("-o", "--output", required=True)
+    q.set_defaults(fn=cmd_sc_feat)
+
+    q = sub.add_parser("sc_label", help="section-pair labels")
+    q.add_argument("--s0", required=True)
+    q.add_argument("--s1", required=True)
+    q.add_argument("--t0", required=True)
+    q.add_argument("--t1", required=True)
+    q.add_argument("--pairs", required=True)
+    q.add_argument("-o", "--output", required=True)
+    q.set_defaults(fn=cmd_sc_label)
+
+    q = sub.add_parser("link_by_threshold", help="threshold linking")
+    q.add_argument("--pairs", nargs="+", required=True)
+    q.add_argument("--scores", nargs="+", required=True)
+    q.add_argument("--minScore", type=float, required=True)
+    q.add_argument("--forceLink", type=lambda s: s != "0", default=True)
+    q.add_argument("-o", "--output", required=True)
+    q.set_defaults(fn=cmd_link_by_threshold)
+
+    q = sub.add_parser("group_region_profiles", help="links -> 3D labels")
+    q.add_argument("-s", "--segImages", nargs="+", required=True)
+    q.add_argument("--ids", type=int, nargs="+", required=True)
+    q.add_argument("-l", "--links", nargs="+", required=True)
+    q.add_argument("-r", "--relabel", action="store_true")
+    q.add_argument("-o", "--output", nargs="+", required=True)
+    q.set_defaults(fn=cmd_group_region_profiles)
+
+    q = sub.add_parser("eval_init_seg", help="oracle upper bound")
+    q.add_argument("-s", "--segImage", required=True)
+    q.add_argument("-t", "--truthImage", required=True)
+    q.add_argument("-o", "--output")
+    q.set_defaults(fn=cmd_eval_init_seg)
+
+    q = sub.add_parser("seg_stats", help="region sizes")
+    q.add_argument("-s", "--segImage", required=True)
+    q.add_argument("-b", "--includeBG", action="store_true")
+    q.set_defaults(fn=cmd_seg_stats)
+
+    q = sub.add_parser("normalize_sample", help="min-max rescale features")
+    q.add_argument("-i", "--input", nargs="+", required=True)
+    q.add_argument("--inputMinMax")
+    q.add_argument("--outputMin", type=float, default=-1.0)
+    q.add_argument("--outputMax", type=float, default=1.0)
+    q.add_argument("-o", "--output", nargs="+", required=True)
+    q.add_argument("--outputMinMax")
+    q.set_defaults(fn=cmd_normalize_sample)
+
+    q = sub.add_parser("threshold_image", help="binary threshold")
+    q.add_argument("-i", "--input", required=True)
+    q.add_argument("--lower", type=float, default=0.0)
+    q.add_argument("--upper", type=float, default=1.0)
+    q.add_argument("--inside", type=int, default=1)
+    q.add_argument("--outside", type=int, default=0)
+    q.add_argument("-o", "--output", required=True)
+    q.set_defaults(fn=cmd_threshold_image)
+
+    q = sub.add_parser("blur_image", help="gaussian blur")
+    q.add_argument("-i", "--input", required=True)
+    q.add_argument("--sigma", type=float, required=True)
+    q.add_argument("-o", "--output", required=True)
+    q.set_defaults(fn=cmd_blur_image)
+
+    q = sub.add_parser("boundary_image_2d", help="BSDS boundary raster")
+    q.add_argument("-i", "--input", required=True)
+    q.add_argument("-o", "--output", required=True)
+    q.set_defaults(fn=cmd_boundary_image_2d)
 
     q = sub.add_parser("relabel_image", help="relabel by size")
     q.add_argument("-i", "--input", required=True)
