@@ -35,24 +35,33 @@ def main():
     from glia_tpu.graph.rag import build_rag
     from glia_tpu.native import greedy_merge_native, watershed_native
 
-    # ---- build a 512x512 ISBI-like problem ----
-    data = synthetic_em_slice(shape=(512, 512), n_cells=900, seed=7,
-                              blur=1.2, noise=0.12)
-    pb = data["pb"]
+    # ---- build four 512x512 ISBI-like slices (one RAG each) ----
+    rags, pbs = [], []
     t0 = time.time()
-    seg = watershed_native(ndi.gaussian_filter(pb, 1.0), level=0.02)
-    rag = build_rag(seg, contour_only=False)
-    log(f"setup: {rag.n_regions} regions, {rag.n_edges} edges, "
-        f"{len(rag.edge_pixels)} boundary px ({time.time()-t0:.2f}s)")
+    for si in range(4):
+        data = synthetic_em_slice(shape=(512, 512), n_cells=900,
+                                  seed=7 + si, blur=1.2, noise=0.12)
+        pb = data["pb"]
+        seg = watershed_native(ndi.gaussian_filter(pb, 1.0), level=0.004)
+        rags.append(build_rag(seg, contour_only=False))
+        pbs.append(pb)
+    n_regions = sum(r.n_regions for r in rags)
+    n_edges = sum(r.n_edges for r in rags)
+    log(f"setup: {n_regions} regions, {n_edges} edges over {len(rags)} "
+        f"slices ({time.time()-t0:.2f}s)")
+    rag, pb = rags[0], pbs[0]
 
     # ---- host baseline: exact serial greedy merge (reference hot loop) ----
     t0 = time.time()
-    order, sals = greedy_merge_native(rag, pb, policy="median")
+    n_merges = 0
+    for r, p in zip(rags, pbs):
+        order, sals = greedy_merge_native(r, p, policy="median")
+        n_merges += len(order)
     host_dt = time.time() - t0
     # edges/s for the serial loop: edges retired (popped+rekeyed) per sec.
     # Each merge retires >= 1 edge; total edge events ~ E + merges.
-    host_edges_s = (rag.n_edges + len(order)) / host_dt
-    log(f"host exact greedy: {len(order)} merges in {host_dt:.3f}s "
+    host_edges_s = (n_edges + n_merges) / host_dt
+    log(f"host exact greedy: {n_merges} merges in {host_dt:.3f}s "
         f"-> {host_edges_s:,.0f} edges/s")
 
     # ---- device: jitted edge scoring over the full RAG ----
@@ -65,21 +74,35 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev}")
 
+    # pack all slices' edges into one batch (regions offset per slice)
     K = 32
-    E = rag.n_edges
-    pbf = pb.ravel().astype(np.float32)
-    px = np.zeros((E, K), dtype=np.float32)
-    mask = np.zeros((E, K), dtype=np.float32)
-    for e in range(E):
-        s, t = int(rag.edge_ptr[e]), int(rag.edge_ptr[e + 1])
-        k = min(K, t - s)
-        px[e, :k] = pbf[rag.edge_pixels[s:s + k]]
-        mask[e, :k] = 1.0
-    key_index = {int(k): i for i, k in enumerate(rag.keys)}
-    u = np.array([key_index[int(x)] for x in rag.edges[:, 0]], np.int32)
-    v = np.array([key_index[int(x)] for x in rag.edges[:, 1]], np.int32)
+    px_l, mask_l, u_l, v_l = [], [], [], []
+    r_off = 0
+    for r, p in zip(rags, pbs):
+        E_i = r.n_edges
+        pbf = p.ravel().astype(np.float32)
+        px_i = np.zeros((E_i, K), dtype=np.float32)
+        mask_i = np.zeros((E_i, K), dtype=np.float32)
+        for e in range(E_i):
+            s, t = int(r.edge_ptr[e]), int(r.edge_ptr[e + 1])
+            k = min(K, t - s)
+            px_i[e, :k] = pbf[r.edge_pixels[s:s + k]]
+            mask_i[e, :k] = 1.0
+        key_index = {int(k): i for i, k in enumerate(r.keys)}
+        u_l.append(np.array([key_index[int(x)] + r_off
+                             for x in r.edges[:, 0]], np.int32))
+        v_l.append(np.array([key_index[int(x)] + r_off
+                             for x in r.edges[:, 1]], np.int32))
+        px_l.append(px_i)
+        mask_l.append(mask_i)
+        r_off += r.n_regions
+    u = np.concatenate(u_l)
+    v = np.concatenate(v_l)
+    px = np.concatenate(px_l)
+    mask = np.concatenate(mask_l)
+    E = len(u)
     valid = np.ones(E, np.float32)
-    R = rag.n_regions
+    R = r_off
     D, N1, N2 = MLP_DIMS
     w = jnp.asarray(mlp2_init(D, N1, N2, 0), dtype=jnp.float32)
 
