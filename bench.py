@@ -75,24 +75,15 @@ def main():
     log(f"device: {dev}")
 
     # pack all slices' edges into one batch (regions offset per slice)
+    from glia_tpu.ops.pack import pack_edge_pixels
+
     K = 32
     px_l, mask_l, u_l, v_l = [], [], [], []
     r_off = 0
     for r, p in zip(rags, pbs):
-        E_i = r.n_edges
-        pbf = p.ravel().astype(np.float32)
-        px_i = np.zeros((E_i, K), dtype=np.float32)
-        mask_i = np.zeros((E_i, K), dtype=np.float32)
-        for e in range(E_i):
-            s, t = int(r.edge_ptr[e]), int(r.edge_ptr[e + 1])
-            k = min(K, t - s)
-            px_i[e, :k] = pbf[r.edge_pixels[s:s + k]]
-            mask_i[e, :k] = 1.0
-        key_index = {int(k): i for i, k in enumerate(r.keys)}
-        u_l.append(np.array([key_index[int(x)] + r_off
-                             for x in r.edges[:, 0]], np.int32))
-        v_l.append(np.array([key_index[int(x)] + r_off
-                             for x in r.edges[:, 1]], np.int32))
+        ui, vi, px_i, mask_i = pack_edge_pixels(r, p, K)
+        u_l.append(ui + r_off)
+        v_l.append(vi + r_off)
         px_l.append(px_i)
         mask_l.append(mask_i)
         r_off += r.n_regions

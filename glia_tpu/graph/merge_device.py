@@ -35,16 +35,11 @@ def edge_mean_arrays(rag, pb_image):
     """Per-edge (sum, count) of boundary pb + dense endpoint indices."""
     pb = np.asarray(pb_image, dtype=np.float64).ravel()
     E = rag.n_edges
-    s = np.zeros(E)
-    c = np.zeros(E)
-    for e in range(E):
-        a, b = int(rag.edge_ptr[e]), int(rag.edge_ptr[e + 1])
-        vals = pb[rag.edge_pixels[a:b]]
-        s[e] = vals.sum()
-        c[e] = len(vals)
-    key_index = {int(k): i for i, k in enumerate(rag.keys)}
-    u = np.array([key_index[int(x)] for x in rag.edges[:, 0]], np.int32)
-    v = np.array([key_index[int(x)] for x in rag.edges[:, 1]], np.int32)
+    eid = np.repeat(np.arange(E), np.diff(rag.edge_ptr))
+    s = np.bincount(eid, weights=pb[rag.edge_pixels], minlength=E)
+    c = np.diff(rag.edge_ptr).astype(np.float64)
+    u = rag.key_index(rag.edges[:, 0]).astype(np.int32)
+    v = rag.key_index(rag.edges[:, 1]).astype(np.int32)
     return u, v, s, c
 
 

@@ -39,23 +39,11 @@ def shard_edges(rag, pb_image, mesh: Mesh, max_pixels_per_edge=32):
     Returns dict of device arrays: u, v (int32 [E_pad]), px ([E_pad, K]),
     px_mask ([E_pad, K]), edge_valid ([E_pad]), n_edges, n_regions.
     """
+    from ..ops.pack import pack_edge_pixels
+
     n_dev = mesh.devices.size
     E = rag.n_edges
-    K = max_pixels_per_edge
-    pb = np.asarray(pb_image, dtype=np.float32).ravel()
-
-    px = np.zeros((E, K), dtype=np.float32)
-    mask = np.zeros((E, K), dtype=np.float32)
-    ptr = rag.edge_ptr
-    for e in range(E):  # host prep; vectorize later if it shows up in profiles
-        s, t = int(ptr[e]), int(ptr[e + 1])
-        k = min(K, t - s)
-        px[e, :k] = pb[rag.edge_pixels[s:s + k]]
-        mask[e, :k] = 1.0
-    # map labels to dense region indices
-    key_index = {int(k): i for i, k in enumerate(rag.keys)}
-    u = np.array([key_index[int(x)] for x in rag.edges[:, 0]], dtype=np.int32)
-    v = np.array([key_index[int(x)] for x in rag.edges[:, 1]], dtype=np.int32)
+    u, v, px, mask = pack_edge_pixels(rag, pb_image, max_pixels_per_edge)
 
     u, _ = pad_to_multiple(u, n_dev)
     v, _ = pad_to_multiple(v, n_dev)
