@@ -100,9 +100,14 @@ DNF_KINDS = {
 
 
 def make_energy(classifier, path_groups, supervised, wr=1.0, wu=1.0,
-                ws=1.0, merge_target=0.95, dnf="monotonic"):
+                ws=1.0, merge_target=0.95, dnf="monotonic",
+                sup_loss="gaussian"):
     """Build E(w, su2, ss2) and its parts, all jittable.
 
+    sup_loss: "gaussian" -> MonotonicDnfGaussian (energy_function.hxx:77-137)
+              "ce"       -> MonotonicDnfGaussianCrossEntropy (:12-72),
+                            binary CE on the supervised term (sigma_s
+                            ignored; targets clipped into (0,1))
     Returns (energy_fn, unsup_sq_loss_fn, sup_sq_loss_fn, n_unsup, n_sup).
     The *_sq_loss functions return ||Y-F||^2 (for the sigma EM updates).
     """
@@ -134,14 +139,22 @@ def make_energy(classifier, path_groups, supervised, wr=1.0, wu=1.0,
         p = classifier(w, sup["x"])
         return jnp.sum((sup["y"] - p) ** 2)
 
+    def sup_ce_loss(w):
+        p = jnp.clip(classifier(w, sup["x"]), 1e-12, 1 - 1e-12)
+        y = jnp.clip(sup["y"], 1e-12, 1 - 1e-12)
+        return -jnp.sum(y * jnp.log(p) + (1 - y) * jnp.log(1 - p))
+
     def energy(w, su2, ss2):
         e = wr * 0.5 * jnp.sum(w * w)
         if n_unsup and wu:
             e = e + wu * (0.5 * unsup_sq_loss(w) / su2
                           + n_unsup * jnp.log(su2) / 2.0)
         if n_sup and ws:
-            e = e + ws * (0.5 * sup_sq_loss(w) / ss2
-                          + n_sup * jnp.log(ss2) / 2.0)
+            if sup_loss == "ce":
+                e = e + ws * sup_ce_loss(w)
+            else:
+                e = e + ws * (0.5 * sup_sq_loss(w) / ss2
+                              + n_sup * jnp.log(ss2) / 2.0)
         return e
 
     return energy, unsup_sq_loss, sup_sq_loss, n_unsup, n_sup

@@ -166,6 +166,41 @@ def image_patches(image, patch_size, stride):
     return np.stack(out) if out else np.zeros((0, ph, pw), image.dtype)
 
 
+def slicewise_connected_components(volume):
+    """Per-slice CC with globally unique labels (labelscc_image)."""
+    from ..native import connected_components_native
+
+    out = np.zeros_like(np.asarray(volume), dtype=np.int32)
+    offset = 0
+    for z in range(volume.shape[0]):
+        cc = connected_components_native(np.asarray(volume[z], np.int32))
+        n = int(cc.max())
+        out[z] = np.where(cc > 0, cc + offset, 0)
+        offset += n
+    return out
+
+
+def sample_image(image, stride):
+    """Strided subsampling (image.hxx:686-727 sampleImage)."""
+    sl = tuple(slice(None, None, s) for s in
+               (stride if hasattr(stride, "__len__")
+                else (stride,) * np.asarray(image).ndim))
+    return np.asarray(image)[sl].copy()
+
+
+def tile_images(images, cols):
+    """Arrange equally-sized 2D images into a grid (image.hxx tileImages)."""
+    images = [np.asarray(im) for im in images]
+    h, w = images[0].shape[:2]
+    rows = (len(images) + cols - 1) // cols
+    out = np.zeros((rows * h, cols * w) + images[0].shape[2:],
+                   dtype=images[0].dtype)
+    for i, im in enumerate(images):
+        r, c = divmod(i, cols)
+        out[r * h:(r + 1) * h, c * w:(c + 1) * w] = im
+    return out
+
+
 def overlay_image(image, labels, alpha=0.5, seed=0):
     """Colorized label overlay for inspection (gadget/main_overlay_image)."""
     rng = np.random.default_rng(seed)
