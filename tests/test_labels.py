@@ -94,6 +94,23 @@ def test_other_rules_run(case, rule):
     assert labels[-1] == BC_LABEL_SPLIT
 
 
+@pytest.mark.parametrize("rule", ["f1", "vi", "ri"])
+@pytest.mark.parametrize("tweak", [False, True])
+def test_vectorized_matches_loop(case, rule, tweak):
+    from glia_tpu.features.labels import bc_labels_loop
+
+    if tweak and rule != "f1":
+        pytest.skip("tweak applies to f1 only")
+    data, seg, order = case
+    lv, mv, sv = bc_labels(seg, data["truth"], order, rule=rule,
+                           tweak=tweak)
+    ll, ml, sl = bc_labels_loop(seg, data["truth"], order, rule=rule,
+                                tweak=tweak)
+    np.testing.assert_array_equal(lv, ll)
+    np.testing.assert_allclose(mv, ml, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(sv, sl, rtol=1e-9, atol=1e-12)
+
+
 def test_node_truth_counts_consistency(case):
     data, seg, order = case
     tree, sizes, counts, tv = node_truth_counts(seg, data["truth"], order)
