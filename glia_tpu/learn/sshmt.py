@@ -164,12 +164,15 @@ def train_sshmt(merge_feats_per_image, orders, sup_feats, sup_labels,
                 classifier="logsig", mlp_hidden=(10, 5), wr=1.0, wu=1.0,
                 ws=1.0, n_sigma_update=10, inner_steps=100,
                 optimizer="adam", lr=0.1, seed=0,
-                defaults: Optional[SshmtDefaults] = None, verbose=False):
+                defaults: Optional[SshmtDefaults] = None, verbose=False,
+                sup_batch=0, balance_sup_batch=False, sup_loss="gaussian"):
     """Full SSHMT training loop (EM over sigmas, optax inner optimizer).
 
     merge_feats_per_image: list of [n_merges_i, D] arrays; orders: matching
     merge orders.  sup_feats/sup_labels: labeled boundary samples (+1 split
-    / -1 merge).  Returns dict with weights and training history.
+    / -1 merge).  sup_batch > 0 enables minibatch supervised epochs
+    (UniformBatchSampler / ClassBatchSampler per alg/gd.hxx:86-157 +
+    type/sampler.hxx).  Returns dict with weights and training history.
     """
     import jax
     import jax.numpy as jnp
@@ -205,7 +208,21 @@ def train_sshmt(merge_feats_per_image, orders, sup_feats, sup_labels,
         clf = make_classifier("mlp2", D, N1, N2)
 
     energy, unsup_sq, sup_sq, n_u, n_s = make_energy(
-        clf, path_groups, supervised, wr, wu, ws, defaults.merge_target)
+        clf, path_groups, supervised, wr, wu, ws, defaults.merge_target,
+        sup_loss=sup_loss)
+
+    # optional supervised minibatching: rebuild a per-step energy over the
+    # sampled batch (paths stay full-batch as in the reference default)
+    sampler = None
+    if sup_batch and supervised is not None and sup_batch < n_s:
+        from .samplers import ClassBatchSampler, UniformBatchSampler
+
+        if balance_sup_batch:
+            sampler = ClassBatchSampler(
+                np.where(np.asarray(sup_labels) > 0, 1, -1), sup_batch,
+                seed)
+        else:
+            sampler = UniformBatchSampler(n_s, sup_batch, seed)
 
     if optimizer == "adam":
         opt = optax.adam(lr)
@@ -222,6 +239,18 @@ def train_sshmt(merge_feats_per_image, orders, sup_feats, sup_labels,
     jit_unsup = jax.jit(unsup_sq)
     jit_sup = jax.jit(sup_sq)
 
+    batch_grad = None
+    if sampler is not None:
+        def batch_energy(w, su2, ss2, bx, by):
+            be, _, _, _, _ = make_energy(
+                clf, path_groups, {"x": bx, "y": by}, wr, wu, ws,
+                defaults.merge_target, sup_loss=sup_loss)
+            return be(w, su2, ss2)
+
+        batch_grad = jax.jit(jax.value_and_grad(batch_energy))
+        sup_x_np = np.asarray(supervised["x"])
+        sup_y_np = np.asarray(supervised["y"])
+
     def update_sigmas(w, su2, ss2):
         # sigma^2 = ||Y-F||^2 / N, floored (sshmt_util.hxx:140-145)
         if n_u:
@@ -235,7 +264,13 @@ def train_sshmt(merge_feats_per_image, orders, sup_feats, sup_labels,
     for round_i in range(n_sigma_update):
         state = opt.init(w)
         for _ in range(inner_steps):
-            e, g = jit_grad(w, su2, ss2)
+            if batch_grad is not None:
+                bi = sampler.next_batch()
+                e, g = batch_grad(w, su2, ss2,
+                                  jnp.asarray(sup_x_np[bi]),
+                                  jnp.asarray(sup_y_np[bi]))
+            else:
+                e, g = jit_grad(w, su2, ss2)
             updates, state = opt.update(g, state, w)
             w = optax.apply_updates(w, updates)
         su2, ss2 = update_sigmas(w, su2, ss2)

@@ -140,3 +140,31 @@ def test_train_sshmt_learns(rng):
     assert acc > 0.8
     # sigma history recorded per EM round
     assert len(out["history"]) == 3
+
+
+def test_train_sshmt_minibatch(rng):
+    n = 60
+    X = rng.random((n, 2))
+    labels = np.where(X[:, 0] > 0.5, 1, -1)
+    order = np.array([[i + 1, n + 10 + i, n + 11 + i] for i in range(n - 1)])
+    out = train_sshmt(
+        [X[: n - 1]], [order], X, labels, classifier="logsig",
+        n_sigma_update=2, inner_steps=150, lr=0.2, sup_batch=16,
+        balance_sup_batch=True, wu=0.0)
+    from glia_tpu.models.mlp import append_bias, logsig_forward
+
+    p = np.asarray(logsig_forward(jnp.asarray(out["w"]),
+                                  jnp.asarray(append_bias(X))))
+    acc = ((p > 0.5) == (labels == -1)).mean()
+    assert acc > 0.75
+
+
+def test_train_sshmt_ce_loss(rng):
+    n = 40
+    X = rng.random((n, 2))
+    labels = np.where(X[:, 1] > 0.5, 1, -1)
+    order = np.array([[i + 1, n + 10 + i, n + 11 + i] for i in range(n - 1)])
+    out = train_sshmt(
+        [X[: n - 1]], [order], X, labels, classifier="logsig",
+        n_sigma_update=2, inner_steps=150, lr=0.3, sup_loss="ce", wu=0.2)
+    assert np.isfinite(out["w"]).all()
