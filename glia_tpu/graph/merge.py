@@ -173,22 +173,24 @@ def greedy_merge_order(
         push(u, v, data, pol.stat(data, u, v, sizes))
 
     def pop_valid():
-        """Highest-saliency live entry, honoring fcond skip semantics."""
-        skipped = []
-        out = None
+        """Highest-saliency live entry, honoring fcond skip semantics.
+
+        A skipped (fcond-failing) candidate is dropped from the heap
+        permanently: fcond may only depend on the endpoint regions' state,
+        which cannot change without the pair being rekeyed -- and rekeying
+        re-pushes a fresh entry.  (The reference rescans its multimap on
+        every top() call, boundary_table.hxx:48-53, with identical results
+        but O(skipped) extra work per merge.)
+        """
         while heap:
             stat, nseq, u, v = heapq.heappop(heap)
             key = (u, v)
             if entry_seq.get(key) != -nseq:
                 continue  # stale
             if fcond is not None and not fcond(u, v, sizes, _pb_mean_cache):
-                skipped.append((stat, nseq, u, v))
-                continue
-            out = (stat, u, v)
-            break
-        for item in skipped:
-            heapq.heappush(heap, item)
-        return out
+                continue  # frozen until rekeyed
+            return (stat, u, v)
+        return None
 
     _pb_mean_cache = {}  # fcond scratch: region key -> mean pb (pre_merge use)
 

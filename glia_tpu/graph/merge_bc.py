@@ -325,8 +325,9 @@ def greedy_merge_bc(rag: Rag, cfg: FeatureConfig,
     order, sals = [], []
 
     while True:
-        # pop the best live candidate, honoring fcond skip semantics
-        skipped = []
+        # pop the best live candidate; fcond-failing candidates drop until
+        # rekeyed (fcond may only depend on endpoint-region state, which
+        # is constant between rekeys -- see merge.py pop_valid)
         popped = None
         while heap:
             negp, nseq, c0, c1 = heapq.heappop(heap)
@@ -334,12 +335,9 @@ def greedy_merge_bc(rag: Rag, cfg: FeatureConfig,
             if entry_seq.get(key) != -nseq or key not in table_pairs:
                 continue
             if fcond is not None and not fcond(c0, c1, state):
-                skipped.append((negp, nseq, c0, c1))
                 continue
             popped = (negp, c0, c1)
             break
-        for item in skipped:
-            heapq.heappush(heap, item)
         if popped is None:
             break
         negp, c0, c1 = popped
