@@ -339,6 +339,12 @@ class TreeFeatures:
                 dst["min"][i] = mn if mn is not None else POS_INF
                 dst["max"][i] = -mx if mx is not None else NEG_INF
 
+        # ---------- exact medians (median_as_feats) ----------
+        self._r_median = None
+        self._b_median = None
+        if cfg.median_as_feats:
+            self._compute_medians(own_node, dp_cnt)
+
         # saliency map (genSaliencyMap, bc_feat.hxx:13-26)
         sal = None
         if self._saliencies is not None:
@@ -357,9 +363,153 @@ class TreeFeatures:
         self._dp_b = dp_b
         self._own_node = own_node
 
+    def _compute_medians(self, own_node, dp_cnt):
+        """Exact per-node medians (stats::amedian upper median) for region
+        and one-sided-boundary pixel sets.
+
+        Regions: leaves in DFS order make every node's pixels a contiguous
+        range of the leaf-ordered pixel array -> np.partition per range.
+        Boundaries: a pair is alive at n iff its owner leaf is under n and
+        (for mutual pairs) its LCA is not; gather alive pairs per node.
+        O(total region/boundary footprint) -- a parity mode, not the fast
+        path (reference flag GLIA_HMT_MEDIAN_FEAT default OFF).
+        """
+        from ..ops.tree_scan import dfs_intervals
+
+        rag, cfg, tree = self.rag, self.cfg, self.tree
+        M = self.M
+
+        leaf_pos, lo, hi, leaf_order = dfs_intervals(tree)
+        # extra (isolated) nodes: give them their own slots after tree leaves
+        extra_nodes = np.arange(tree.n_nodes, M)
+        # region pixel array ordered by leaf DFS (then extras)
+        key_of_node = self.node_keys
+        region_row = {int(k): i for i, k in enumerate(rag.keys)}
+        ordered_nodes = [int(n) for n in leaf_order] + list(extra_nodes)
+        pix_chunks = []
+        node_plo = np.zeros(M, dtype=np.int64)
+        node_phi = np.zeros(M, dtype=np.int64)
+        # leaf pixel ranges in concat order
+        starts = {}
+        off = 0
+        for n in ordered_nodes:
+            ri = region_row.get(int(key_of_node[n]))
+            if ri is None:
+                starts[n] = (off, off)
+                continue
+            s, e = int(rag.region_ptr[ri]), int(rag.region_ptr[ri + 1])
+            pix_chunks.append(rag.region_pixels[s:e])
+            starts[n] = (off, off + (e - s))
+            off += e - s
+        pix_order = np.concatenate(pix_chunks) if pix_chunks else \
+            np.zeros(0, np.int64)
+        # prefix offsets per leaf DFS slot -> node intervals
+        leaf_off = np.zeros(len(leaf_order) + 1, dtype=np.int64)
+        for i, n in enumerate(leaf_order):
+            leaf_off[i + 1] = leaf_off[i] + (starts[int(n)][1]
+                                             - starts[int(n)][0])
+        for n in range(tree.n_nodes):
+            node_plo[n] = leaf_off[lo[n]]
+            node_phi[n] = leaf_off[hi[n]]
+        for n in extra_nodes:
+            node_plo[n], node_phi[n] = starts[int(n)]
+
+        def upper_median_ranges(vals):
+            out = np.zeros(M)
+            for n in range(M):
+                a, b = node_plo[n], node_phi[n]
+                if b > a:
+                    seg = vals[a:b]
+                    out[n] = np.partition(seg, (b - a) // 2)[(b - a) // 2]
+                else:
+                    out[n] = -1.0  # DUMMY
+            return out
+
+        self._r_median = []
+        for img in cfg.r_images:
+            vals = np.asarray(img.image, np.float64).ravel()[pix_order]
+            self._r_median.append(upper_median_ranges(vals))
+
+        # boundary medians: alive pairs per node
+        Ed = len(rag.dir_pairs)
+        # node pre-order positions for "lca under n" tests
+        pre = np.zeros(tree.n_nodes, dtype=np.int64)
+        counter = 0
+        roots = [i for i in range(tree.n_nodes) if tree.parent[i] < 0]
+        pre_lo = np.zeros(tree.n_nodes, dtype=np.int64)
+        pre_hi = np.zeros(tree.n_nodes, dtype=np.int64)
+        for root in roots:
+            stack = [(root, False)]
+            while stack:
+                node, done = stack.pop()
+                if done:
+                    pre_hi[node] = counter
+                    continue
+                pre_lo[node] = counter
+                counter += 1
+                stack.append((node, True))
+                if tree.left[node] >= 0:
+                    stack.append((int(tree.right[node]), False))
+                    stack.append((int(tree.left[node]), False))
+        pair_vals = []
+        pb_cache = [np.asarray(img.image, np.float64).ravel()
+                    for img in cfg.b_images]
+        for e in range(Ed):
+            s, t = int(rag.dir_ptr[e]), int(rag.dir_ptr[e + 1])
+            pair_vals.append([c[rag.dir_pixels[s:t]] for c in pb_cache])
+        leafpos_of_pair = np.full(Ed, -1, dtype=np.int64)
+        for e in range(Ed):
+            n = own_node[e]
+            if 0 <= n < tree.n_nodes:
+                leafpos_of_pair[e] = leaf_pos[n]
+        self._b_median = [np.full(M, -1.0) for _ in cfg.b_images]
+        pair_ids_by_node = [[] for _ in range(M)]
+        for e in range(Ed):
+            n = own_node[e]
+            if n < 0:
+                continue
+            if n >= tree.n_nodes:
+                pair_ids_by_node[n].append(e)
+                continue
+            i = int(n)
+            stop = int(self.dp_lca[e]) if (self.dp_mutual[e]
+                                           and self.dp_lca[e] >= 0) else -1
+            while i >= 0 and i != stop:
+                pair_ids_by_node[i].append(e)
+                i = int(tree.parent[i])
+        for bi in range(len(cfg.b_images)):
+            for n in range(M):
+                ids = pair_ids_by_node[n]
+                if not ids:
+                    continue
+                vals = np.concatenate([pair_vals[e][bi] for e in ids])
+                if len(vals):
+                    k = len(vals) // 2
+                    self._b_median[bi][n] = np.partition(vals, k)[k]
+        # pair-boundary medians per merge (dying pairs at each lca)
+        n_merges = len(self.order)
+        node_of_merge = np.nonzero(~tree.is_leaf)[0]
+        merge_of_node = {int(nd): mi for mi, nd in enumerate(node_of_merge)}
+        self._pair_median = [np.full(n_merges, -1.0)
+                             for _ in cfg.b_images]
+        by_merge = [[] for _ in range(n_merges)]
+        for e in range(Ed):
+            mi = merge_of_node.get(int(self.dp_lca[e]), -1)
+            if mi >= 0:
+                by_merge[mi].append(e)
+        for bi in range(len(cfg.b_images)):
+            for mi in range(n_merges):
+                if not by_merge[mi]:
+                    continue
+                vals = np.concatenate(
+                    [pair_vals[e][bi] for e in by_merge[mi]])
+                if len(vals):
+                    k = len(vals) // 2
+                    self._pair_median[bi][mi] = np.partition(vals, k)[k]
+
     # -- serialization ---------------------------------------------------
 
-    def _image_feats_block(self, st, idx, n_bins):
+    def _image_feats_block(self, st, idx, n_bins, median=None):
         """ImageFeats serialize (feat.hxx:846-855): [hist?] entropy,
         [median?] mean, stddev, min, max.  Empty sets -> zeros
         (ImageRealFeats early-return, feat.hxx:703)."""
@@ -381,9 +531,10 @@ class TreeFeatures:
             cols.append(h)
         cols.append(ent[:, None])
         if cfg.median_as_feats:
-            raise NotImplementedError(
-                "median_as_feats requires pixel multiset tracking; "
-                "use the exact (non-hierarchical) extractor")
+            if median is None:
+                raise ValueError("median arrays not computed")
+            med = np.where(ok, np.asarray(median)[idx], 0.0)
+            cols.append(med[:, None])
         cols += [mean[:, None], std[:, None], mn[:, None], mx[:, None]]
         return np.concatenate(cols, axis=1)
 
@@ -435,13 +586,15 @@ class TreeFeatures:
             cols[4] = slog(cols[4], 0.0)
             cols[5] = slog(cols[5], 0.0)
         for i, img in enumerate(cfg.r_images):
-            cols.append(self._image_feats_block(st.r_stats[i], idx,
-                                                img.hist_bins))
+            cols.append(self._image_feats_block(
+                st.r_stats[i], idx, img.hist_bins,
+                median=self._r_median[i] if cfg.median_as_feats else None))
         for i, img in enumerate(cfg.rl_images):
             cols.append(self._label_feats_block(st.rl_hist[i], idx, st.area))
         for i, img in enumerate(cfg.b_images):
-            cols.append(self._image_feats_block(st.b_stats[i], idx,
-                                                img.hist_bins))
+            cols.append(self._image_feats_block(
+                st.b_stats[i], idx, img.hist_bins,
+                median=self._b_median[i] if cfg.median_as_feats else None))
         if st.saliency is not None and with_saliency is not False:
             cols.append(st.saliency[:, None])
         return np.concatenate(cols, axis=1)
@@ -537,23 +690,23 @@ class TreeFeatures:
             cols[6] = slog(cols[6], 0.0)
             cols[11] = slog(cols[11], 0.0)
 
-        # per r_image ImageDiffFeats (feat.hxx:886-899 + 762-800)
+        # per r_image ImageDiffFeats (feat.hxx:886-899 + 762-800):
+        # [histL1, histX2, entropyDiff, (medianDiff), meanDiff, stdDiff,
+        #  minDiff, maxDiff]
         for i, img in enumerate(cfg.r_images):
             rst = st.r_stats[i]
-            f0 = self._image_feats_block(rst, n0s, img.hist_bins)
-            f1 = self._image_feats_block(rst, n1s, img.hist_bins)
+            med = self._r_median[i] if cfg.median_as_feats else None
+            f0 = self._image_feats_block(rst, n0s, img.hist_bins, med)
+            f1 = self._image_feats_block(rst, n1s, img.hist_bins, med)
             h0 = rst["hist"][n0s] / np.maximum(rst["cnt"][n0s], 1)[:, None]
             h1 = rst["hist"][n1s] / np.maximum(rst["cnt"][n1s], 1)[:, None]
             l1 = np.abs(h0 - h1).sum(axis=1)
             x2 = (np.square(h0 - h1) / (h0 + h1 + FEPS)).sum(axis=1)
-            # layout of f0/f1 (no hist/median): [entropy, mean, std, min, max]
-            ent_d = np.abs(f0[:, 0] - f1[:, 0])
-            mean_d = np.abs(f0[:, 1] - f1[:, 1])
-            std_d = np.abs(f0[:, 2] - f1[:, 2])
-            min_d = np.abs(f0[:, 3] - f1[:, 3])
-            max_d = np.abs(f0[:, 4] - f1[:, 4])
-            cols.append(np.stack([l1, x2, ent_d, mean_d, std_d,
-                                  min_d, max_d], axis=1))
+            off = img.hist_bins if cfg.histogram_as_feats else 0
+            # block layout: [hist?] entropy, [median], mean, std, min, max
+            d = np.abs(f0[:, off:] - f1[:, off:])
+            cols.append(np.concatenate(
+                [np.stack([l1, x2], axis=1), d], axis=1))
         # per rl_image ImageLabelDiffFeats (feat.hxx:645-658)
         for i, img in enumerate(cfg.rl_images):
             h = st.rl_hist[i]
@@ -568,8 +721,10 @@ class TreeFeatures:
             cols.append(np.stack([l1, x2, np.abs(e0 - e1)], axis=1))
         # per b_image ImageFeats over the pair boundary
         for bi, img in enumerate(cfg.b_images):
-            cols.append(self._image_feats_block(bst[bi], np.arange(n),
-                                                img.hist_bins))
+            cols.append(self._image_feats_block(
+                bst[bi], np.arange(n), img.hist_bins,
+                median=self._pair_median[bi] if cfg.median_as_feats
+                else None))
         # saliency pair
         if st.saliency is not None:
             d02 = np.abs(st.saliency[n0s] - st.saliency[n2])
@@ -610,8 +765,13 @@ class TreeFeatures:
         for bi, img in enumerate(cfg.b_images):
             base = off + sum(cfg.image_feats_dim(cfg.b_images[j])
                              for j in range(bi))
-            mean_col = base + cfg.label_feats_dim(img)  # first real feat
+            med_off = 1 if cfg.median_as_feats else 0
+            mean_col = base + cfg.label_feats_dim(img) + med_off
             cols.append(bf[:, mean_col])
+            if cfg.median_as_feats:
+                # selectFeatures pushes bf->median after mean
+                # (bc_feat.hxx:265-268)
+                cols.append(bf[:, base + cfg.label_feats_dim(img)])
         # per r_image: meanDiff, histL1, histX2, entropyDiff
         for ri in range(len(cfg.r_images)):
             base = shape_dim + per_r * ri

@@ -173,3 +173,33 @@ def test_hist_bin_quirk():
     idx2 = _hist_bin_index(np.array([0.6]), 2, (0.5, 0.7))
     # interval=0.1, bounds=[0.1,0.2]; 0.6 in (0.5,0.7) but >= 0.2 -> dropped
     assert idx2.tolist() == [-1]
+
+
+def test_median_features_exact(case):
+    """median_as_feats mode: medians must equal direct per-node computation."""
+    data, seg, rag, order, cfg0, tf0, oracle = case
+    from glia_tpu.features.config import FeatureConfig
+
+    cfg = FeatureConfig.standard(data["pb"], data["intensity"], n_bins=8)
+    cfg.median_as_feats = True
+    tf = TreeFeatures(rag, order, cfg)
+    img = data["pb"].astype(np.float64).ravel()
+    for i, key in enumerate(tf.node_keys):
+        pix = np.array(oracle[int(key)].pixels)
+        vals = img[pix]
+        want = np.partition(vals, len(vals) // 2)[len(vals) // 2]
+        assert tf._r_median[0][i] == want, f"region median node {key}"
+        bpix = [p for v in oracle[int(key)].boundary.values() for p in v]
+        if bpix:
+            bv = img[np.array(bpix)]
+            wantb = np.partition(bv, len(bv) // 2)[len(bv) // 2]
+            assert tf._b_median[0][i] == wantb, f"boundary median {key}"
+    # shapes with median enabled
+    rf = tf.region_features()
+    assert rf.shape[1] == cfg.region_feat_dim(ndim=2, with_saliency=False)
+    bfm = tf.boundary_features()
+    assert bfm.shape[1] == cfg.boundary_feat_dim(with_saliency=False)
+    sf = tf.simple_features()
+    assert sf.shape[1] == (5 + 2 * len(cfg.b_images) + 4 * len(cfg.r_images)
+                           + 2 * len(cfg.rl_images))
+    assert np.isfinite(rf).all() and np.isfinite(bfm).all()
