@@ -18,14 +18,13 @@ from .ensemble import ThresholdEnsemble
 from .forest import ForestModel, predict_label_fraction, train_forest
 
 
-def bc_area_feature_indices(cfg, ndim=2):
+def bc_area_feature_indices(cfg, ndim=2, with_saliency=True):
     """Column indices of region0/region1 area inside a BC feature vector
     (boundary block first, then region0 and region1 blocks; area is each
-    region block's first element)."""
-    db = cfg.boundary_feat_dim(with_saliency=cfg is not None)
-    # with_saliency must reflect how the features were built; callers using
-    # saliency-less features should pass the same config used to build them
-    dr = cfg.region_feat_dim(ndim=ndim)
+    region block's first element).  ``with_saliency`` must reflect how the
+    features were built."""
+    db = cfg.boundary_feat_dim(with_saliency=with_saliency)
+    dr = cfg.region_feat_dim(ndim=ndim, with_saliency=with_saliency)
     return db, db + dr
 
 

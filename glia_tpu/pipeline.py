@@ -87,12 +87,33 @@ def pre_merge(labels, pb, size_thresholds=(50,), rpb_threshold=0.5):
 
 @dataclass
 class HmtModel:
-    """Trained boundary classifier + feature configuration knobs."""
+    """Trained boundary classifier + feature configuration knobs.
+
+    kind: "rf" (single forest), "rf_ensemble" (3 forests routed by region
+    areas, main_merge_order_bc.cxx ensemble path), or "mlp" (MLP2 with
+    minmax rescale, pred_mlp semantics).
+    """
 
     forest: ForestModel
     n_bins: int = 16
     boundary_thresholds: tuple = (0.2, 0.5, 0.8)
     policy: str = "median"
+    kind: str = "rf"
+    extra: dict = None
+
+    def predict_merge_prob(self, feats, backend="np"):
+        if self.kind == "rf":
+            return predict_label_fraction(self.forest, feats, label=-1,
+                                          backend=backend)
+        if self.kind == "rf_ensemble":
+            return self.extra["ensemble"](feats)
+        if self.kind == "mlp":
+            from .learn.predict import predict_mlp2
+
+            m = self.extra
+            return predict_mlp2(m["w"], feats, m["minmax"], m["n1"],
+                                m["n2"])
+        raise ValueError(self.kind)
 
 
 def _features_for(seg, pb, intensity, model_cfg, order, sals):
@@ -106,12 +127,14 @@ def _features_for(seg, pb, intensity, model_cfg, order, sals):
 
 def hmt_train(slices, policy="median", rule="f1", n_trees=100, seed=0,
               watershed_level=0.05, pre_merge_size=30,
-              n_bins=16) -> HmtModel:
+              n_bins=16, classifier="rf",
+              ensemble_threshold=None, mlp_hidden=(16, 8)) -> HmtModel:
     """Train the boundary classifier over (pb, intensity, truth) slices.
 
     slices: sequence of dicts with keys pb, intensity, truth.
     Pipeline per slice: watershed -> pre_merge -> merge_order_pb ->
-    bc_feat + bc_label -> pooled RF training.
+    bc_feat + bc_label -> pooled classifier training.
+    classifier: "rf" | "rf_ensemble" | "mlp".
     """
     cfg0 = HmtModel(forest=None, n_bins=n_bins)  # type: ignore
     X, y = [], []
@@ -128,8 +151,32 @@ def hmt_train(slices, policy="median", rule="f1", n_trees=100, seed=0,
         y.append(labels)
     X = np.concatenate(X)
     y = np.concatenate(y)
-    forest = train_forest(X, y, n_trees=n_trees, seed=seed)
-    return HmtModel(forest=forest, n_bins=n_bins, policy=policy)
+    if classifier == "rf":
+        forest = train_forest(X, y, n_trees=n_trees, seed=seed)
+        return HmtModel(forest=forest, n_bins=n_bins, policy=policy)
+    if classifier == "rf_ensemble":
+        from .features.config import FeatureConfig
+        from .models.train_ensemble import (
+            bc_area_feature_indices,
+            train_forest_ensemble,
+        )
+
+        cfg = FeatureConfig.standard(
+            slices[0]["pb"], slices[0].get("intensity"), n_bins=n_bins)
+        dim0, dim1 = bc_area_feature_indices(cfg)
+        if ensemble_threshold is None:
+            ensemble_threshold = float(np.median(X[:, dim1]))
+        ens = train_forest_ensemble(X, y, dim0, dim1, ensemble_threshold,
+                                    n_trees=n_trees, seed=seed)
+        return HmtModel(forest=None, n_bins=n_bins, policy=policy,
+                        kind="rf_ensemble", extra={"ensemble": ens})
+    if classifier == "mlp":
+        from .models.train_ensemble import train_mlp_supervised
+
+        m = train_mlp_supervised(X, y, hidden=mlp_hidden, seed=seed)
+        return HmtModel(forest=None, n_bins=n_bins, policy=policy,
+                        kind="mlp", extra=m)
+    raise ValueError(classifier)
 
 
 def hmt_segment(pb, intensity, model: HmtModel, watershed_level=0.05,
@@ -143,8 +190,7 @@ def hmt_segment(pb, intensity, model: HmtModel, watershed_level=0.05,
     order, sals = greedy_merge_native(rag, pb, policy=model.policy)
     feats = _features_for(seg, pb, intensity, model, order, sals)
     # merge probability = vote fraction for label -1 (BC_LABEL_MERGE)
-    probs = predict_label_fraction(model.forest, feats, label=-1,
-                                   backend=backend)
+    probs = model.predict_merge_prob(feats, backend=backend)
     tree = build_tree(order)
     if mode == "greedy":
         pot = node_potentials(tree, probs)

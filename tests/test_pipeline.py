@@ -67,3 +67,17 @@ def test_probs_are_probabilities(model_and_test_slice):
     _, aux = hmt_segment(test["pb"], test["intensity"], model,
                          watershed_level=0.06, pre_merge_size=20)
     assert ((aux["probs"] >= 0) & (aux["probs"] <= 1)).all()
+
+
+@pytest.mark.parametrize("classifier", ["rf_ensemble", "mlp"])
+def test_other_classifiers(classifier):
+    train_slices = [synthetic_em_slice((64, 64), n_cells=10, seed=s)
+                    for s in (5, 6)]
+    test = synthetic_em_slice((64, 64), n_cells=10, seed=55)
+    model = hmt_train(train_slices, n_trees=30, pre_merge_size=15,
+                      watershed_level=0.05, classifier=classifier)
+    seg, aux = hmt_segment(test["pb"], test["intensity"], model,
+                           watershed_level=0.05, pre_merge_size=15)
+    base = evaluate(aux["seg0"], test["truth"])
+    ours = evaluate(seg, test["truth"])
+    assert ours["vi"] < base["vi"]
