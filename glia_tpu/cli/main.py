@@ -365,6 +365,72 @@ def cmd_normalize_sample(a):
         write_matrix(a.outputMinMax, mm)
 
 
+def cmd_eval_ri_threshold(a):
+    from ..tools import eval_ri_threshold
+
+    pbs = [_read_real(f) for f in a.resImage]
+    refs = [_read_label(f) for f in a.refImage]
+    rows = eval_ri_threshold(pbs, refs, lower=a.lower, upper=a.upper,
+                             n_thresholds=a.nThreshold,
+                             adapted=a.adapted,
+                             use_watershed=a.useWatershed)
+    for row in rows:
+        print(" ".join(f"{x:.6g}" for x in row))
+
+
+def cmd_match_seg_to_truth(a):
+    from ..tools import match_seg_to_truth
+
+    m = match_seg_to_truth(_read_label(a.segImage),
+                           _read_label(a.truthImage))
+    for t, (s, ji) in sorted(m.items()):
+        print(f"{t}: {s} [{ji:.6g}]")
+
+
+def cmd_maxpool_image(a):
+    from ..ops.image import max_pool_image
+
+    im = _read_real(a.input)
+    out = max_pool_image(im, skip_dims=tuple(a.skipDims))
+    from ..io.image import write_image
+
+    write_image(a.output, (np.clip(out, 0, 1) * 255).astype(np.uint8))
+
+
+def cmd_crop_image(a):
+    from ..ops.image import crop_image
+    from ..io.image import read_image, write_image
+
+    im = read_image(a.input)
+    write_image(a.output, crop_image(im, tuple(a.origin), tuple(a.size)))
+
+
+def cmd_resample_image(a):
+    from ..ops.image import resample_image
+    from ..io.image import read_image, write_image
+
+    im = read_image(a.input)
+    write_image(a.output, resample_image(im, a.factor,
+                                         order=0 if a.label else 1))
+
+
+def cmd_acc_images(a):
+    from ..ops.image import accumulate_images
+    from ..io.image import write_image
+
+    out = accumulate_images([_read_real(f) for f in a.input],
+                            average=a.average)
+    write_image(a.output, (np.clip(out, 0, 1) * 255).astype(np.uint8))
+
+
+def cmd_vol_to_slices(a):
+    from ..io.image import read_image, write_image
+
+    vol = read_image(a.input)
+    for z in range(vol.shape[0]):
+        write_image(a.output.replace("%d", str(z)), vol[z])
+
+
 def cmd_threshold_image(a):
     from ..ops.image import threshold_image
 
@@ -604,6 +670,54 @@ def build_parser():
     q.add_argument("-o", "--output", nargs="+", required=True)
     q.add_argument("--outputMinMax")
     q.set_defaults(fn=cmd_normalize_sample)
+
+    q = sub.add_parser("eval_ri_threshold", help="Rand error vs threshold")
+    q.add_argument("-p", "--resImage", nargs="+", required=True)
+    q.add_argument("-r", "--refImage", nargs="+", required=True)
+    q.add_argument("--lower", type=float, default=0.0)
+    q.add_argument("--upper", type=float, default=1.0)
+    q.add_argument("-n", "--nThreshold", type=int, default=10)
+    q.add_argument("-a", "--adapted", type=lambda s: s != "0", default=True)
+    q.add_argument("-w", "--useWatershed", action="store_true")
+    q.set_defaults(fn=cmd_eval_ri_threshold)
+
+    q = sub.add_parser("match_seg_to_truth", help="best-Jaccard matches")
+    q.add_argument("-s", "--segImage", required=True)
+    q.add_argument("-t", "--truthImage", required=True)
+    q.set_defaults(fn=cmd_match_seg_to_truth)
+
+    q = sub.add_parser("maxpool_image", help="2x max pooling")
+    q.add_argument("-i", "--input", required=True)
+    q.add_argument("--skipDims", type=int, nargs="*", default=[])
+    q.add_argument("-o", "--output", required=True)
+    q.set_defaults(fn=cmd_maxpool_image)
+
+    q = sub.add_parser("crop_image", help="crop by origin/size")
+    q.add_argument("-i", "--input", required=True)
+    q.add_argument("--origin", type=int, nargs="+", required=True)
+    q.add_argument("--size", type=int, nargs="+", required=True)
+    q.add_argument("-o", "--output", required=True)
+    q.set_defaults(fn=cmd_crop_image)
+
+    q = sub.add_parser("resample_image", help="zoom resample")
+    q.add_argument("-i", "--input", required=True)
+    q.add_argument("--factor", type=float, required=True)
+    q.add_argument("--label", action="store_true",
+                   help="nearest-neighbor for label images")
+    q.add_argument("-o", "--output", required=True)
+    q.set_defaults(fn=cmd_resample_image)
+
+    q = sub.add_parser("acc_images", help="accumulate images")
+    q.add_argument("-i", "--input", nargs="+", required=True)
+    q.add_argument("--average", action="store_true")
+    q.add_argument("-o", "--output", required=True)
+    q.set_defaults(fn=cmd_acc_images)
+
+    q = sub.add_parser("image_vol_to_slices", help="split volume to slices")
+    q.add_argument("-i", "--input", required=True)
+    q.add_argument("-o", "--output", required=True,
+                   help="pattern containing %%d")
+    q.set_defaults(fn=cmd_vol_to_slices)
 
     q = sub.add_parser("threshold_image", help="binary threshold")
     q.add_argument("-i", "--input", required=True)

@@ -113,3 +113,33 @@ def test_cli_tools(tmp_path, capsys):
             "--outputMinMax", f"{dd}/mm.txt")
     fn = read_matrix(f"{dd}/fn.txt")
     assert fn.min() >= -1.0 - 1e-9 and fn.max() <= 1.0 + 1e-9
+
+
+def test_cli_image_tools(tmp_path, capsys):
+    dd = str(tmp_path)
+    rng = np.random.default_rng(0)
+    img = (rng.random((16, 16)) * 255).astype(np.uint8)
+    truth = np.zeros((16, 16), dtype=np.uint16)
+    truth[:8] = 1
+    truth[8:] = 2
+    write_image(f"{dd}/img.png", img)
+    write_image(f"{dd}/truth.png", truth)
+    run_cli("maxpool_image", "-i", f"{dd}/img.png", "-o", f"{dd}/mp.png")
+    run_cli("crop_image", "-i", f"{dd}/img.png", "--origin", "2", "2",
+            "--size", "8", "8", "-o", f"{dd}/crop.png")
+    run_cli("resample_image", "-i", f"{dd}/img.png", "--factor", "0.5",
+            "-o", f"{dd}/rs.png")
+    run_cli("acc_images", "-i", f"{dd}/img.png", f"{dd}/img.png",
+            "--average", "-o", f"{dd}/acc.png")
+    run_cli("match_seg_to_truth", "-s", f"{dd}/truth.png",
+            "-t", f"{dd}/truth.png")
+    out = capsys.readouterr().out
+    assert "1: 1 [1]" in out
+    run_cli("eval_ri_threshold", "-p", f"{dd}/img.png",
+            "-r", f"{dd}/truth.png", "-n", "3")
+    out = capsys.readouterr().out.strip().split("\n")
+    assert len(out) == 3
+    from glia_tpu.io.image import read_image
+
+    assert read_image(f"{dd}/mp.png").shape == (8, 8)
+    assert read_image(f"{dd}/crop.png").shape == (8, 8)
