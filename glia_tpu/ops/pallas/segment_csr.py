@@ -8,11 +8,16 @@ Strategy: grid over value chunks; each step loads a [CHUNK] slice of
 values + segment ids to VMEM, expands to a one-hot [CHUNK, S] matrix and
 accumulates ``onehot^T @ values`` into the output block with the MXU --
 sequential grid steps on TPU make read-modify-write accumulation safe.
-The output [S, F] must fit VMEM (fine for S up to ~tens of thousands);
-larger graphs shard S across the mesh first (parallel/rag_shard.py).
+The output [S, F] must fit VMEM; MXU accumulation happens at bf16 input
+precision, so expect ~1e-3 relative error on f32 data.
 
-Falls back to jax.ops.segment_sum off-TPU; ``interpret=True`` is used in
-CPU tests.
+Measured on TPU v5e (200k x 8 values, S=4096): XLA's native
+``jax.ops.segment_sum`` scatter is ~1.7x faster than this matmul
+formulation at large S, so the production aggregation paths use XLA; this
+kernel is the building block for *fused* custom reductions (stats that
+XLA would otherwise materialize separately) and for small-S cases where
+the one-hot contraction stays MXU-bound.  Falls back to
+jax.ops.segment_sum off-TPU; ``interpret=True`` in CPU tests.
 """
 
 from __future__ import annotations
