@@ -75,23 +75,26 @@ def synthetic_em_stack(shape=(8, 128, 128), n_cells=24, seed=0, **kw):
                    axis=1)
     _, idx = cKDTree(centers).query(pts, k=1)
     truth = (idx.reshape(z, h, w) + 1).astype(np.int32)
+    # 3D membrane indicator: boundary against any 6-neighbor (so the pb
+    # carries z-transition signal too, like a real EM membrane channel)
+    memb = np.zeros((z, h, w), dtype=np.float32)
+    for ax in range(3):
+        d = np.diff(truth, axis=ax) != 0
+        sl_lo = [slice(None)] * 3
+        sl_hi = [slice(None)] * 3
+        sl_lo[ax] = slice(None, -1)
+        sl_hi[ax] = slice(1, None)
+        memb[tuple(sl_lo)] = np.maximum(memb[tuple(sl_lo)],
+                                        d.astype(np.float32))
+        memb[tuple(sl_hi)] = np.maximum(memb[tuple(sl_hi)],
+                                        d.astype(np.float32))
+    pb3 = ndi.gaussian_filter(memb, (0.6, 1.5, 1.5))
+    pb3 = pb3 / max(pb3.max(), 1e-6)
+    pb3 = np.clip(pb3 + rng.normal(0, 0.08, (z, h, w)), 0, 1
+                  ).astype(np.float32)
     slices = []
     for k in range(z):
         s = synthetic_em_slice((h, w), seed=seed + 1000 + k, **kw)
-        # overwrite truth with the 3D-coherent one; regenerate pb from it
-        t2 = truth[k]
-        memb = np.zeros((h, w), dtype=np.float32)
-        diff_x = t2[:, :-1] != t2[:, 1:]
-        diff_y = t2[:-1, :] != t2[1:, :]
-        memb[:, :-1] = np.maximum(memb[:, :-1], diff_x.astype(np.float32))
-        memb[:, 1:] = np.maximum(memb[:, 1:], diff_x.astype(np.float32))
-        memb[:-1, :] = np.maximum(memb[:-1, :], diff_y.astype(np.float32))
-        memb[1:, :] = np.maximum(memb[1:, :], diff_y.astype(np.float32))
-        import scipy.ndimage as ndi
-
-        pb = ndi.gaussian_filter(memb, 1.5)
-        pb = pb / max(pb.max(), 1e-6)
-        rng2 = np.random.default_rng(seed + 2000 + k)
-        pb = np.clip(pb + rng2.normal(0, 0.08, (h, w)), 0, 1).astype(np.float32)
-        slices.append({"truth": t2, "pb": pb, "intensity": s["intensity"]})
-    return {"truth3d": truth, "slices": slices}
+        slices.append({"truth": truth[k], "pb": pb3[k],
+                       "intensity": s["intensity"]})
+    return {"truth3d": truth, "pb3d": pb3, "slices": slices}

@@ -212,21 +212,7 @@ class TreeFeatures:
             dp_b.append(group_stats(vals, dpid, Ed, img.hist_bins,
                                     img.hist_range))
 
-        # ---------- pair liveness: LCA of each mutual edge ----------
-        # map base keys -> leaf node; depth array for LCA walks
-        depth = tree.depth_vector()
-        parent = tree.parent
-
-        def lca(i, j):
-            while i != j:
-                if depth[i] >= depth[j]:
-                    i = int(parent[i])
-                else:
-                    j = int(parent[j])
-                if i < 0 or j < 0:
-                    return -1
-            return i
-
+        # ---------- pair liveness: LCA of each directed pair ----------
         # classify directed pairs: mutual (edge exists both ways) vs not
         dir_code = (rag.dir_pairs[:, 0] << 32) | rag.dir_pairs[:, 1]
         rev_code = (rag.dir_pairs[:, 1] << 32) | rag.dir_pairs[:, 0]
@@ -236,14 +222,16 @@ class TreeFeatures:
             np.minimum(np.searchsorted(sorted_codes, rev_code),
                        len(sorted_codes) - 1)] == rev_code
 
-        self.dp_lca = np.full(Ed, -1, dtype=np.int64)
+        from ..graph.tree import pairs_lca
+
         tree_n = tree.n_nodes
-        for e in range(Ed):
-            a, b = int(rag.dir_pairs[e, 0]), int(rag.dir_pairs[e, 1])
-            na, nb = self.key2node.get(a, -1), self.key2node.get(b, -1)
-            if na < 0 or nb < 0 or na >= tree_n or nb >= tree_n:
-                continue
-            self.dp_lca[e] = lca(na, nb)
+        na = np.array([self.key2node.get(int(a), -1)
+                       for a in rag.dir_pairs[:, 0]], dtype=np.int64)
+        nb = np.array([self.key2node.get(int(b), -1)
+                       for b in rag.dir_pairs[:, 1]], dtype=np.int64)
+        na = np.where((na >= 0) & (na < tree_n), na, -1)
+        nb = np.where((nb >= 0) & (nb < tree_n), nb, -1)
+        self.dp_lca = pairs_lca(tree, na, nb)
         self.dp_mutual = mutual
 
         # dying lists per internal node: mutual pairs die at their LCA

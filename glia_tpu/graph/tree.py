@@ -212,6 +212,64 @@ def gen_merge_paths(order, path_length: Optional[int] = None,
     return paths
 
 
+def pairs_lca(tree: MergeTree, pair_leaf_a, pair_leaf_b) -> np.ndarray:
+    """LCA node index for many (leaf, leaf) pairs at once.
+
+    Offline union-find over the merge sequence with small-to-large pair
+    lists: a pair's LCA is the internal node created by the merge that
+    first joins its endpoints' components -- O((M + P) log P), replacing
+    per-pair ancestor walks (O(P * depth), quadratic on chain-like merge
+    trees).  Pairs whose endpoints never join (or with leaf index < 0)
+    get -1.
+    """
+    P = len(pair_leaf_a)
+    out = np.full(P, -1, dtype=np.int64)
+    comp = {}      # leaf/root node -> comp id
+    parent = {}    # DSU
+    plist = {}     # comp root -> list of pair ids
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    leaf_nodes = np.nonzero(tree.is_leaf)[0]
+    for n in leaf_nodes:
+        parent[int(n)] = int(n)
+        plist[int(n)] = []
+    for pi in range(P):
+        a, b = int(pair_leaf_a[pi]), int(pair_leaf_b[pi])
+        if a < 0 or b < 0 or a == b:
+            continue
+        plist[a].append(pi)
+        plist[b].append(pi)
+    pa = np.asarray(pair_leaf_a, dtype=np.int64)
+    pb = np.asarray(pair_leaf_b, dtype=np.int64)
+    for i in range(tree.n_nodes):
+        l, r = int(tree.left[i]), int(tree.right[i])
+        if l < 0:
+            continue
+        ra, rb = find(l), find(r)
+        if len(plist[ra]) < len(plist[rb]):
+            ra, rb = rb, ra
+        # merge rb into ra
+        keep = plist[ra]
+        for pi in plist[rb]:
+            if out[pi] >= 0:
+                continue
+            fa, fb = find(int(pa[pi])), find(int(pb[pi]))
+            if {fa, fb} == {ra, rb}:
+                out[pi] = i
+            else:
+                keep.append(pi)
+        parent[rb] = ra
+        plist[rb] = []
+        plist[ra] = keep
+        parent[i] = ra  # the new internal node joins the merged component
+    return out
+
+
 def gen_order(tree: MergeTree) -> np.ndarray:
     """Inverse of build_tree (genOrder, tree_build.hxx:67-78): internal
     nodes in creation order -> (left_key, right_key, key) triples."""
