@@ -100,6 +100,7 @@ class HmtModel:
     policy: str = "median"
     kind: str = "rf"
     extra: dict = None
+    feature_set: str = "full"   # "full" BC vector | "simple" selectFeatures
 
     def predict_merge_prob(self, feats, backend="np"):
         if self.kind == "rf":
@@ -113,6 +114,13 @@ class HmtModel:
             m = self.extra
             return predict_mlp2(m["w"], feats, m["minmax"], m["n1"],
                                 m["n2"])
+        if self.kind == "logsig":
+            from .learn.predict import predict_logsig, rescale_features
+
+            m = self.extra
+            if m.get("minmax") is not None:
+                feats = rescale_features(feats, m["minmax"])
+            return predict_logsig(m["w"], feats)
         raise ValueError(self.kind)
 
 
@@ -122,6 +130,8 @@ def _features_for(seg, pb, intensity, model_cfg, order, sals):
         boundary_thresholds=model_cfg.boundary_thresholds)
     rag = build_rag(seg, contour_only=False)
     tf = TreeFeatures(rag, order, cfg, saliencies=sals)
+    if getattr(model_cfg, "feature_set", "full") == "simple":
+        return tf.simple_features()
     return tf.bc_features()
 
 
@@ -177,6 +187,68 @@ def hmt_train(slices, policy="median", rule="f1", n_trees=100, seed=0,
         return HmtModel(forest=None, n_bins=n_bins, policy=policy,
                         kind="mlp", extra=m)
     raise ValueError(classifier)
+
+
+def hmt_train_sshmt(labeled_slices, unlabeled_slices, policy="median",
+                    rule="f1", watershed_level=0.05, pre_merge_size=30,
+                    n_bins=16, label_fraction=1.0, wr=1.0, wu=1.0, ws=1.0,
+                    n_sigma_update=5, inner_steps=150, lr=0.2,
+                    seed=0) -> HmtModel:
+    """Semi-supervised SSHMT training pipeline (BASELINE config #3).
+
+    labeled_slices contribute (sparse) merge/split labels; unlabeled ones
+    contribute root-path consistency constraints only.  The classifier is
+    a Logsig over min-max rescaled selectFeatures "simple" features
+    (the reference's SSHMT setup, main_train_sshmt_logsig.cxx).
+    ``label_fraction`` subsamples the labeled merges to emulate sparse
+    supervision.
+    """
+    from .learn.predict import feature_minmax, rescale_features
+    from .learn.sshmt import train_sshmt
+
+    cfg0 = HmtModel(forest=None, n_bins=n_bins,
+                    feature_set="simple")  # type: ignore
+    sup_X, sup_y = [], []
+    uns_feats, uns_orders = [], []
+    rng = np.random.default_rng(seed)
+
+    def stage(s):
+        seg = watershed(s["pb"], watershed_level)
+        if pre_merge_size:
+            seg = pre_merge(seg, s["pb"], (pre_merge_size,))
+        rag = build_rag(seg, contour_only=False)
+        order, sals = greedy_merge_native(rag, s["pb"], policy=policy)
+        feats = _features_for(seg, s["pb"], s.get("intensity"), cfg0,
+                              order, sals)
+        return seg, order, feats
+
+    for s in labeled_slices:
+        seg, order, feats = stage(s)
+        labels, _, _ = bc_labels(seg, s["truth"], order, rule=rule)
+        keep = rng.random(len(labels)) < label_fraction
+        sup_X.append(feats[keep])
+        sup_y.append(labels[keep])
+        uns_feats.append(feats)
+        uns_orders.append(order)
+    for s in unlabeled_slices:
+        seg, order, feats = stage(s)
+        uns_feats.append(feats)
+        uns_orders.append(order)
+
+    sup_X = np.concatenate(sup_X) if sup_X else None
+    sup_y = np.concatenate(sup_y) if sup_y else None
+    allf = np.concatenate(uns_feats)
+    minmax = feature_minmax(allf)
+    uns_feats = [rescale_features(f, minmax) for f in uns_feats]
+    sup_Xr = rescale_features(sup_X, minmax) if sup_X is not None else None
+    out = train_sshmt(uns_feats, uns_orders, sup_Xr, sup_y,
+                      classifier="logsig", wr=wr, wu=wu, ws=ws,
+                      n_sigma_update=n_sigma_update,
+                      inner_steps=inner_steps, lr=lr, seed=seed)
+    return HmtModel(forest=None, n_bins=n_bins, policy=policy,
+                    kind="logsig", feature_set="simple",
+                    extra={"w": out["w"], "minmax": minmax,
+                           "history": out["history"]})
 
 
 def hmt_segment(pb, intensity, model: HmtModel, watershed_level=0.05,

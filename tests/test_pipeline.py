@@ -81,3 +81,20 @@ def test_other_classifiers(classifier):
     base = evaluate(aux["seg0"], test["truth"])
     ours = evaluate(seg, test["truth"])
     assert ours["vi"] < base["vi"]
+
+
+def test_sshmt_pipeline_sparse_labels():
+    from glia_tpu.pipeline import hmt_train_sshmt
+
+    labeled = [synthetic_em_slice((64, 64), n_cells=10, seed=8)]
+    unlabeled = [synthetic_em_slice((64, 64), n_cells=10, seed=9)]
+    test = synthetic_em_slice((64, 64), n_cells=10, seed=88)
+    model = hmt_train_sshmt(labeled, unlabeled, watershed_level=0.05,
+                            pre_merge_size=15, label_fraction=0.4,
+                            n_sigma_update=3, inner_steps=120)
+    seg, aux = hmt_segment(test["pb"], test["intensity"], model,
+                           watershed_level=0.05, pre_merge_size=15)
+    base = evaluate(aux["seg0"], test["truth"])
+    ours = evaluate(seg, test["truth"])
+    assert ours["vi"] < base["vi"]
+    assert len(model.extra["history"]) == 3
