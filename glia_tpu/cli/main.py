@@ -213,7 +213,11 @@ def cmd_merge_order_bc(a):
     def predict(f):
         return float(predict_label_fraction(model, f[None, :], label=-1)[0])
 
-    order, sals = greedy_merge_bc(rag, cfg, predict)
+    def predict_batch(F):
+        return predict_label_fraction(model, F, label=-1)
+
+    order, sals = greedy_merge_bc(rag, cfg, predict,
+                                  predict_batch=predict_batch)
     if a.mergeOrder:
         write_merge_order(a.mergeOrder, order)
     if a.saliency:

@@ -286,11 +286,15 @@ class DynamicRagState:
 
 def greedy_merge_bc(rag: Rag, cfg: FeatureConfig,
                     predict: Callable[[np.ndarray], float],
-                    fcond: Optional[Callable] = None):
+                    fcond: Optional[Callable] = None,
+                    predict_batch: Optional[Callable] = None):
     """Greedy merge with classifier saliency.
 
     predict: feature vector [D] -> merge probability (higher merges first;
     the queue pops max probability, struct_merge_bc.hxx:25-27).
+    predict_batch: optional [B, D] -> [B] vectorized classifier; when
+    given, all candidates created by one merge (and the initial table)
+    score in one batch -- same results, far fewer classifier calls.
     Returns (order [n,3], saliencies=[probabilities]).
     """
     state = DynamicRagState(rag, cfg)
@@ -298,28 +302,44 @@ def greedy_merge_bc(rag: Rag, cfg: FeatureConfig,
     entry_seq = {}
     seq = 0
 
-    def push(c0, c1):
+    def push(c0, c1, p=None):
         nonlocal seq
-        feats = state.candidate_features(c0, c1)
-        p = float(predict(feats))
+        if p is None:
+            feats = state.candidate_features(c0, c1)
+            p = float(predict(feats))
         key = (min(c0, c1), max(c0, c1))
         entry_seq[key] = seq
         # pop max probability; ties -> latest inserted first
         heapq.heappush(heap, (-p, -seq, key[0], key[1]))
         seq += 1
 
+    def push_many(pairs):
+        if not pairs:
+            return
+        if predict_batch is None:
+            for c0, c1 in pairs:
+                push(c0, c1)
+            return
+        feats = np.stack([state.candidate_features(c0, c1)
+                          for c0, c1 in pairs])
+        probs = np.asarray(predict_batch(feats), dtype=np.float64)
+        for (c0, c1), p in zip(pairs, probs):
+            push(c0, c1, float(p))
+
     # The boundary table only ever contains pairs whose *initial* boundary
     # was mutual (boundary_table.hxx:99-103), and update() rekeys only
     # existing table entries -- a neighbor touching a merged region solely
     # through a non-mutual boundary never becomes a candidate.
     table_pairs = set()
+    init_pairs = []
     for (a, b) in list(state.entries):
         key = (min(a, b), max(a, b))
         if key in table_pairs:
             continue
         if (a, b) in state.entries and (b, a) in state.entries:
             table_pairs.add(key)
-            push(key[0], key[1])
+            init_pairs.append(key)
+    push_many(init_pairs)
 
     next_key = int(max(state.rec.keys())) + 1
     order, sals = [], []
@@ -359,10 +379,12 @@ def greedy_merge_bc(rag: Rag, cfg: FeatureConfig,
                     entry_seq.pop(k, None)
                     rekey.add(nb)
         state.merge(c0, c1, c2)
+        new_pairs = []
         for nb in sorted(rekey):
             k = (min(nb, c2), max(nb, c2))
             table_pairs.add(k)
-            push(nb, c2)
+            new_pairs.append((min(nb, c2), max(nb, c2)))
+        push_many(new_pairs)
 
     return (np.asarray(order, dtype=np.int64).reshape(-1, 3),
             np.asarray(sals, dtype=np.float64))

@@ -75,3 +75,13 @@ def test_bc_merge_count(case):
     order, sals = greedy_merge_bc(rag, cfg, predict=lambda f: 0.5)
     assert len(order) == rag.n_regions - 1 or len(order) > 0
     assert ((sals >= 0) & (sals <= 1)).all()
+
+
+def test_batched_predict_matches_sequential(case):
+    data, seg, rag, cfg = case
+    col = pair_mean_col(cfg)
+    o1, s1 = greedy_merge_bc(rag, cfg, predict=lambda f: -f[col])
+    o2, s2 = greedy_merge_bc(rag, cfg, predict=lambda f: -f[col],
+                             predict_batch=lambda F: -F[:, col])
+    np.testing.assert_array_equal(o1, o2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-12)
