@@ -144,6 +144,106 @@ def make_halo_aggregate(mesh, plan: HaloPlan, n_regions: int, n_feat: int):
     return agg
 
 
+def local_endpoint_indices(plan: HaloPlan, part: Partition, rag,
+                           groups, E_max):
+    """Per-shard local row index (into [own_block; halo_rows]) for each
+    edge endpoint.  Rows 0..R_own_max-1 are the shard's own regions;
+    rows R_own_max + t*H + j are halo slot j from owner t."""
+    n, H, R_own = plan.n, plan.H, plan.R_own_max
+    key_index = {int(k): i for i, k in enumerate(rag.keys)}
+    ui = np.array([key_index[int(a)] for a in rag.edges[:, 0]], np.int64)
+    vi = np.array([key_index[int(b)] for b in rag.edges[:, 1]], np.int64)
+    owner = part.region_shard
+    # halo slot lookup per (shard, region)
+    halo_slot = [dict() for _ in range(n)]
+    for s in range(n):
+        for t in range(n):
+            for j, r in enumerate(plan.send_ids[s, t]):
+                if r >= 0:
+                    halo_slot[s][int(r)] = t * H + j
+    u_loc = np.zeros((n, E_max), np.int32)
+    v_loc = np.zeros((n, E_max), np.int32)
+    for s, g in enumerate(groups):
+        for k, e in enumerate(g):
+            for arr, r in ((u_loc, int(ui[e])), (v_loc, int(vi[e]))):
+                if owner[r] == s:
+                    arr[s, k] = plan.local_of_global[r]
+                else:
+                    arr[s, k] = R_own + halo_slot[s][r]
+    return u_loc, v_loc
+
+
+def make_halo_edge_forward(mesh, plan: HaloPlan, n_regions: int,
+                           mlp_dims=(8, 16, 8)):
+    """Edge scoring with the routing-planned halo instead of a dense
+    all_gather (compare parallel/train.edge_forward): same math, comm
+    volume ~ cut size."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from ..models.mlp import mlp2_forward
+
+    D, N1, N2 = mlp_dims
+    n, H, R_own = plan.n, plan.H, plan.R_own_max
+
+    @_partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(EDGE_AXIS), P(EDGE_AXIS), P(EDGE_AXIS, None),
+                  P(EDGE_AXIS, None), P(EDGE_AXIS),
+                  P(EDGE_AXIS), P(EDGE_AXIS),
+                  P(EDGE_AXIS, None), P(EDGE_AXIS, None),
+                  P(EDGE_AXIS), P(EDGE_AXIS, None)),
+        out_specs=P(EDGE_AXIS),
+    )
+    def score(w, u, v, px, px_mask, edge_valid, u_loc, v_loc,
+              send_ids, recv_local, own_ids, fetch_local):
+        send_ids = send_ids[0]
+        recv_local = recv_local[0]
+        fetch_local = fetch_local[0]
+        cnt = px_mask.sum(axis=1)
+        s = (px * px_mask).sum(axis=1)
+        mean = s / jnp.maximum(cnt, 1.0)
+        mn = jnp.where(px_mask > 0, px, jnp.inf).min(axis=1)
+        mn = jnp.where(cnt > 0, mn, 0.0)
+        mx = jnp.where(px_mask > 0, px, -jnp.inf).max(axis=1)
+        mx = jnp.where(cnt > 0, mx, 0.0)
+        msgs = jnp.stack([jnp.ones_like(mean), mean, mn, mx], axis=1)
+        msgs = msgs * edge_valid[:, None]
+        part_sums = jax.ops.segment_sum(msgs, u,
+                                        num_segments=n_regions + 1)
+        part_sums += jax.ops.segment_sum(msgs, v,
+                                         num_segments=n_regions + 1)
+        # reduce partials to owners
+        send_rows = part_sums[jnp.maximum(send_ids.reshape(-1), 0)]
+        send_rows = jnp.where((send_ids.reshape(-1) >= 0)[:, None],
+                              send_rows, 0.0)
+        recv_rows = jax.lax.all_to_all(
+            send_rows.reshape(n, H, -1), EDGE_AXIS, split_axis=0,
+            concat_axis=0, tiled=False).reshape(n * H, -1)
+        own = part_sums[jnp.maximum(own_ids, 0)]
+        own = jnp.where((own_ids >= 0)[:, None], own, 0.0)
+        rl = recv_local.reshape(-1)
+        own = own.at[jnp.maximum(rl, 0)].add(
+            jnp.where((rl >= 0)[:, None], recv_rows, 0.0))
+        # halo fetch
+        fl = fetch_local.reshape(-1)
+        out_rows = own[jnp.maximum(fl, 0)]
+        out_rows = jnp.where((fl >= 0)[:, None], out_rows, 0.0)
+        halo_rows = jax.lax.all_to_all(
+            out_rows.reshape(n, H, -1), EDGE_AXIS, split_axis=0,
+            concat_axis=0, tiled=False).reshape(n * H, -1)
+        table = jnp.concatenate([own, halo_rows], axis=0)
+        ru = table[u_loc]
+        rv = table[v_loc]
+        feats = jnp.concatenate(
+            [jnp.stack([mean, mn, mx, cnt], axis=1), ru[:, :2], rv[:, :2]],
+            axis=1).astype(jnp.float32)
+        return mlp2_forward(w, feats, D, N1, N2)
+
+    return score
+
+
 def shard_halo_inputs(mesh, plan: HaloPlan, part: Partition, rag, ev):
     """Device-put the edge data reordered by owning shard + routing tables.
 

@@ -96,3 +96,64 @@ def test_comm_volume_smaller_than_dense(setup):
     rag, part, plan, ev = setup
     dense_rows = rag.n_regions * 8  # all_gather volume
     assert plan.comm_rows * 2 < dense_rows
+
+
+@needs_8
+def test_halo_edge_forward_matches_dense(setup):
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from glia_tpu.models.mlp import mlp2_init
+    from glia_tpu.ops.pack import pack_edge_pixels
+    from glia_tpu.parallel.halo import (
+        local_endpoint_indices,
+        make_halo_edge_forward,
+        shard_halo_inputs,
+    )
+    from glia_tpu.parallel.train import MLP_DIMS, edge_forward
+
+    rag, part, plan, _ = setup
+    data_pb = np.random.default_rng(3).random(rag.shape).astype(np.float32)
+    u, v, px, mask = pack_edge_pixels(rag, data_pb, 8)
+    D, N1, N2 = MLP_DIMS
+    w = jnp.asarray(mlp2_init(D, N1, N2, 0), dtype=jnp.float32)
+
+    # single-device reference over the original edge order
+    single = np.asarray(edge_forward(
+        w, jnp.asarray(u), jnp.asarray(v), jnp.asarray(px),
+        jnp.asarray(mask), jnp.ones(len(u), jnp.float32),
+        rag.n_regions + 1, axis_name=None))
+
+    mesh = make_mesh(8)
+    # group edges by shard with padding, reusing shard_halo_inputs layout
+    dummy_ev = np.zeros((rag.n_edges, 1), np.float32)
+    inp = shard_halo_inputs(mesh, plan, part, rag, dummy_ev)
+    groups, E_max = inp["groups"], inp["E_max"]
+    n = plan.n
+    u_p = np.full((n, E_max), rag.n_regions, np.int32)
+    v_p = np.full((n, E_max), rag.n_regions, np.int32)
+    px_p = np.zeros((n, E_max, px.shape[1]), np.float32)
+    mask_p = np.zeros((n, E_max, px.shape[1]), np.float32)
+    valid_p = np.zeros((n, E_max), np.float32)
+    for s, g in enumerate(groups):
+        u_p[s, : len(g)] = u[g]
+        v_p[s, : len(g)] = v[g]
+        px_p[s, : len(g)] = px[g]
+        mask_p[s, : len(g)] = mask[g]
+        valid_p[s, : len(g)] = 1.0
+    u_loc, v_loc = local_endpoint_indices(plan, part, rag, groups, E_max)
+
+    shard = NamedSharding(mesh, P("edge"))
+    dev = lambda x: __import__("jax").device_put(jnp.asarray(x), shard)
+    score = make_halo_edge_forward(mesh, plan, rag.n_regions)
+    out = score(w, dev(u_p.reshape(-1)), dev(v_p.reshape(-1)),
+                dev(px_p.reshape(-1, px.shape[1])),
+                dev(mask_p.reshape(-1, px.shape[1])),
+                dev(valid_p.reshape(-1)),
+                dev(u_loc.reshape(-1)), dev(v_loc.reshape(-1)),
+                dev(plan.send_ids), dev(plan.recv_local),
+                dev(plan.own_ids.reshape(-1)), dev(plan.fetch_local))
+    out = np.asarray(out).reshape(n, E_max)
+    for s, g in enumerate(groups):
+        np.testing.assert_allclose(out[s, : len(g)], single[g], rtol=2e-5,
+                                   err_msg=f"shard {s}")
