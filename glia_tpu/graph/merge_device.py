@@ -222,6 +222,32 @@ def merge_batched_device(u, v, s, c, n_regions, max_supersteps=64,
     return order, sal, int(n_m)
 
 
+def threshold_cut(order, stats, tau):
+    """Consistent threshold cut of a (possibly non-monotone) merge
+    hierarchy: select merge m iff its *monotonized* statistic
+    max(stat[m], stats of the merges that built its inputs) <= tau.
+
+    The batched superstep engine emits merges grouped by rounds, so its
+    sequence is not sorted by statistic; cutting by count mixes weak and
+    strong boundaries.  The monotonized-threshold cut is the correct way
+    to extract "merge everything weaker than tau" from any merge
+    hierarchy (equals the prefix cut for a serial sorted order).
+    Returns a boolean mask over merges (prefix-closed by construction).
+    """
+    order = np.asarray(order).reshape(-1, 3)
+    stats = np.asarray(stats, dtype=np.float64)
+    built_by = {}
+    mono = np.empty(len(order))
+    for i, (r0, r1, r2) in enumerate(order):
+        m = stats[i]
+        for r in (int(r0), int(r1)):
+            if r in built_by:
+                m = max(m, mono[built_by[r]])
+        mono[i] = m
+        built_by[int(r2)] = i
+    return mono <= tau
+
+
 def order_to_keys(order, n_merges, rag):
     """Convert dense-index order rows to the RAG's label key space."""
     order = np.asarray(order)[:n_merges]

@@ -71,3 +71,31 @@ def test_batched_vs_serial_quality(case):
     _, _, vi_h = eval_vi(seg_h, data["truth"])
     # batched order is not identical but must be comparable quality
     assert vi_b < vi_h + 0.35
+
+
+def test_threshold_cut_quality_parity():
+    """SURVEY hard-part #1: the batched superstep order, consumed via
+    monotonized threshold cuts, must match serial greedy VI/Rand."""
+    import scipy.ndimage as ndi
+
+    from glia_tpu.graph.merge_device import threshold_cut
+    from glia_tpu.metrics import eval_vi
+
+    deltas = []
+    for seed in (201, 202, 203):
+        data = synthetic_em_slice((96, 96), n_cells=20, seed=seed)
+        seg = watershed_native(ndi.gaussian_filter(data["pb"], 1.0), 0.01)
+        rag = build_rag(seg, contour_only=False)
+        oh, sh = greedy_merge_order(rag, data["pb"], policy="mean")
+        u, v, s, c = edge_mean_arrays(rag, data["pb"])
+        ob, sb, nb = merge_batched_device(u, v, s, c, rag.n_regions)
+        okeys = order_to_keys(ob, nb, rag)
+        k = rag.n_regions - 20
+        tau = -sh[k - 1]
+        segh = apply_merge_order(seg, oh, threshold_index=k)
+        mask = threshold_cut(okeys, -np.asarray(sb)[:nb], tau)
+        segb = apply_merge_order(seg, okeys[mask])
+        _, _, vih = eval_vi(segh, data["truth"])
+        _, _, vib = eval_vi(segb, data["truth"])
+        deltas.append(vib - vih)
+    assert abs(np.mean(deltas)) < 0.1
