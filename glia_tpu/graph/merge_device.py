@@ -111,12 +111,50 @@ def merge_serial_device(u, v, s, c, n_regions, dtype=None):
     return order, sal, int(i)
 
 
+def edge_hist_arrays(rag, pb_image, n_bins=32, lo=0.0, hi=1.0):
+    """Per-edge boundary-pb histogram sketch [E, n_bins] + endpoints.
+
+    The histogram is the mergeable sketch for the approx-median policy
+    (SURVEY hard part #2): histograms add under splicing, and the upper
+    median is read off the cumulative counts to bin resolution.
+    """
+    pb = np.asarray(pb_image, dtype=np.float64).ravel()
+    E = rag.n_edges
+    eid = np.repeat(np.arange(E), np.diff(rag.edge_ptr))
+    vals = pb[rag.edge_pixels]
+    bins = np.clip(((vals - lo) / (hi - lo) * n_bins).astype(np.int64),
+                   0, n_bins - 1)
+    h = np.zeros((E, n_bins))
+    np.add.at(h, (eid, bins), 1.0)
+    u = rag.key_index(rag.edges[:, 0]).astype(np.int32)
+    v = rag.key_index(rag.edges[:, 1]).astype(np.int32)
+    return u, v, h
+
+
+def hist_median_stat(h, lo=0.0, hi=1.0):
+    """Approx upper median from histogram rows: bin center of the first
+    bin whose cumulative count exceeds n//2 (amedian = sorted[n//2])."""
+    import jax.numpy as jnp
+
+    n_bins = h.shape[-1]
+    cnt = h.sum(axis=-1)
+    k = cnt // 2.0
+    cum = jnp.cumsum(h, axis=-1)
+    idx = jnp.argmax(cum > k[..., None], axis=-1)
+    width = (hi - lo) / n_bins
+    return lo + (idx + 0.5) * width
+
+
 def merge_batched_device(u, v, s, c, n_regions, max_supersteps=64,
                          dtype=None):
     """Batched superstep merge (speed mode).
 
     Each superstep merges all edges that are the strict (index-tiebroken)
     minimum of both endpoints.  Returns (order, saliencies, n_merges).
+
+    The per-edge data (s, c) may be (sum, count) for the pooled-mean
+    policy; ``merge_batched_device_hist`` runs the same superstep loop on
+    histogram sketches for the approx-median policy.
     """
     import jax
     import jax.numpy as jnp
@@ -218,6 +256,106 @@ def merge_batched_device(u, v, s, c, n_regions, max_supersteps=64,
              sal0))
 
     st = run(u0, v0, s0, c0)
+    step, n_m, *_, order, sal = st
+    return order, sal, int(n_m)
+
+
+def merge_batched_device_hist(u, v, h, n_regions, max_supersteps=64,
+                              lo=0.0, hi=1.0, dtype=None):
+    """Batched superstep merge on histogram sketches (approx-median policy,
+    SURVEY hard part #2).  h: [E, n_bins] per-edge boundary histograms,
+    which splice additively; the statistic is the sketch's upper median.
+    Returns (order, saliencies=-stat, n_merges)."""
+    import jax
+    import jax.numpy as jnp
+
+    E, NB = h.shape
+    R = int(n_regions)
+    max_m = max(R - 1, 1)
+    n_ids = R + max_m
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+    u0 = jnp.asarray(u, jnp.int32)
+    v0 = jnp.asarray(v, jnp.int32)
+    h0 = jnp.asarray(h, dtype)
+    alive0 = jnp.ones(E, bool)
+    order0 = jnp.full((max_m, 3), -1, jnp.int32)
+    sal0 = jnp.zeros(max_m, dtype)
+    idx = jnp.arange(E, dtype=jnp.int32)
+    BIG = jnp.asarray(jnp.inf, dtype)
+
+    def cond(state):
+        step, n_m, u, v, h, alive, order, sal = state
+        return (step < max_supersteps) & alive.any() & (n_m < max_m)
+
+    def body(state):
+        step, n_m, u, v, h, alive, order, sal = state
+        stat = jnp.where(alive, hist_median_stat(h, lo, hi), BIG)
+        bits = jax.lax.bitcast_convert_type(
+            stat.astype(jnp.float32), jnp.int32)
+        big32 = jnp.int32(2 ** 31 - 1)
+        bits = jnp.where(alive, bits, big32)
+        rbits = jnp.full(n_ids, big32, jnp.int32)
+        rbits = rbits.at[u].min(bits)
+        rbits = rbits.at[v].min(bits)
+        cand = alive & (rbits[u] == bits) & (rbits[v] == bits)
+        ridx = jnp.full(n_ids, E, jnp.int32)
+        ridx = ridx.at[u].min(jnp.where(cand, idx, E))
+        ridx = ridx.at[v].min(jnp.where(cand, idx, E))
+        is_merge = cand & (ridx[u] == idx) & (ridx[v] == idx)
+        rank = jnp.cumsum(is_merge.astype(jnp.int32)) - 1
+        ok = is_merge & (n_m + rank < max_m)
+        n_new = ok.sum().astype(jnp.int32)
+        r2 = (R + n_m + rank).astype(jnp.int32)
+        rows = jnp.stack([u, v, r2], axis=1)
+        slot = jnp.where(ok, n_m + rank, max_m)
+        order_pad = jnp.concatenate(
+            [order, jnp.full((1, 3), -1, jnp.int32)], axis=0)
+        order = order_pad.at[slot].set(
+            jnp.where(ok[:, None], rows, -1))[:max_m]
+        sal_pad = jnp.concatenate([sal, jnp.zeros(1, sal.dtype)])
+        sal = sal_pad.at[slot].set(jnp.where(ok, -stat, 0.0))[:max_m]
+        lut = jnp.arange(n_ids + 1, dtype=jnp.int32)
+        src_u = jnp.where(ok, u, n_ids)
+        src_v = jnp.where(ok, v, n_ids)
+        lut = lut.at[src_u].set(jnp.where(ok, r2, n_ids))
+        lut = lut.at[src_v].set(jnp.where(ok, r2, n_ids))
+        u = lut[u]
+        v = lut[v]
+        alive = alive & ~ok & (u != v)
+        # dedupe via lexicographic permutation (stable two-pass argsort)
+        lo_k = jnp.where(alive, jnp.minimum(u, v), jnp.int32(n_ids))
+        hi_k = jnp.where(alive, jnp.maximum(u, v), idx)
+        p1 = jnp.argsort(hi_k, stable=True)
+        p2 = jnp.argsort(lo_k[p1], stable=True)
+        perm = p1[p2]
+        lo_s = lo_k[perm]
+        hi_s = hi_k[perm]
+        u = u[perm]
+        v = v[perm]
+        h_s = h[perm]
+        alive_s = alive[perm]
+        first = jnp.concatenate(
+            [jnp.ones(1, bool),
+             (lo_s[1:] != lo_s[:-1]) | (hi_s[1:] != hi_s[:-1])])
+        seg_id = jnp.cumsum(first.astype(jnp.int32)) - 1
+        h_seg = jax.ops.segment_sum(
+            jnp.where(alive_s[:, None], h_s, 0.0), seg_id,
+            num_segments=E)
+        keep = first & alive_s
+        h = jnp.where(keep[:, None], h_seg[seg_id], h_s)
+        alive = alive_s & keep
+        n_m = jnp.minimum(n_m + n_new, max_m)
+        return step + 1, n_m, u, v, h, alive, order, sal
+
+    @jax.jit
+    def run(u0, v0, h0):
+        return jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), jnp.int32(0), u0, v0, h0, alive0, order0, sal0))
+
+    st = run(u0, v0, h0)
     step, n_m, *_, order, sal = st
     return order, sal, int(n_m)
 

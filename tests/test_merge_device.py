@@ -99,3 +99,47 @@ def test_threshold_cut_quality_parity():
         _, _, vib = eval_vi(segb, data["truth"])
         deltas.append(vib - vih)
     assert abs(np.mean(deltas)) < 0.1
+
+
+def test_hist_median_batched_quality():
+    """Approx-median (histogram sketch) batched mode vs exact-median
+    serial greedy: threshold cuts must give comparable VI."""
+    import scipy.ndimage as ndi
+
+    from glia_tpu.graph.merge_device import (
+        edge_hist_arrays,
+        merge_batched_device_hist,
+        threshold_cut,
+    )
+    from glia_tpu.metrics import eval_vi
+
+    deltas = []
+    for seed in (301, 302):
+        data = synthetic_em_slice((96, 96), n_cells=20, seed=seed)
+        seg = watershed_native(ndi.gaussian_filter(data["pb"], 1.0), 0.01)
+        rag = build_rag(seg, contour_only=False)
+        oh, sh = greedy_merge_order(rag, data["pb"], policy="median")
+        u, v, h = edge_hist_arrays(rag, data["pb"], n_bins=64)
+        ob, sb, nb = merge_batched_device_hist(u, v, h, rag.n_regions)
+        okeys = order_to_keys(ob, nb, rag)
+        k = rag.n_regions - 20
+        tau = -sh[k - 1] + 1.0 / 64  # bin-resolution slack
+        segh = apply_merge_order(seg, oh, threshold_index=k)
+        mask = threshold_cut(okeys, -np.asarray(sb)[:nb], tau)
+        segb = apply_merge_order(seg, okeys[mask])
+        _, _, vih = eval_vi(segh, data["truth"])
+        _, _, vib = eval_vi(segb, data["truth"])
+        deltas.append(vib - vih)
+    assert np.mean(deltas) < 0.3
+
+
+def test_hist_median_stat():
+    import jax.numpy as jnp
+
+    from glia_tpu.graph.merge_device import hist_median_stat
+
+    # 5 values in bins [0,0,1,3,3] of 4 bins over [0,1): median idx bin 3?
+    # values sorted -> k = 5//2 = 2 -> third value -> bin 1
+    h = jnp.asarray([[2.0, 1.0, 0.0, 2.0]])
+    med = float(hist_median_stat(h, 0.0, 1.0)[0])
+    assert med == pytest.approx(0.375)  # bin 1 center
