@@ -65,7 +65,9 @@ def cmd_merge_order_pb(a):
 
     seg = _read_label(a.segImage)
     pb = _read_real(a.pbImage)
-    rag = build_rag(seg, contour_only=(a.type != "median_minsize"))
+    mask = _read_label(a.maskImage) if a.maskImage else None
+    rag = build_rag(seg, mask=mask,
+                    contour_only=(a.type != "median_minsize"))
     order, sals = greedy_merge_native(rag, pb, policy=a.type)
     if a.mergeOrder:
         write_merge_order(a.mergeOrder, order)
@@ -88,7 +90,8 @@ def cmd_bc_feat(a):
                                  boundary_thresholds=tuple(a.bt),
                                  normalize_shape=a.normalizeShape)
     cfg.use_log_shape = a.logShape
-    rag = build_rag(seg, contour_only=False)
+    mask = _read_label(a.maskImage) if a.maskImage else None
+    rag = build_rag(seg, mask=mask, contour_only=False)
     tf = TreeFeatures(rag, order, cfg, saliencies=sals)
     feats = tf.simple_features() if a.simple else tf.bc_features()
     write_matrix(a.bfeat, feats)
@@ -167,7 +170,8 @@ def cmd_eval_vi(a):
 
     segs = [_read_label(f) for f in a.resImage]
     refs = [_read_label(f) for f in a.refImage]
-    fs, fm, tot = eval_vi(segs, refs)
+    masks = [_read_label(f) for f in a.mask] if a.mask else None
+    fs, fm, tot = eval_vi(segs, refs, masks)
     print(f"{fs:.6g} {fm:.6g} {tot:.6g}")
 
 
@@ -176,11 +180,12 @@ def cmd_eval_ri(a):
 
     segs = [_read_label(f) for f in a.resImage]
     refs = [_read_label(f) for f in a.refImage]
+    masks = [_read_label(f) for f in a.mask] if a.mask else None
     if a.adapted:
-        prec, rec, err = eval_ri(segs, refs, adapted=True)
+        prec, rec, err = eval_ri(segs, refs, masks, adapted=True)
         print(f"{prec:.6g} {rec:.6g} {err:.6g}")
     else:
-        print(f"{eval_ri(segs, refs, adapted=False):.6g}")
+        print(f"{eval_ri(segs, refs, masks, adapted=False):.6g}")
 
 
 def cmd_relabel(a):
@@ -486,6 +491,7 @@ def build_parser():
     q.add_argument("-p", "--pbImage", required=True)
     q.add_argument("-t", "--type", default="median",
                    choices=["median", "mean", "median_minsize"])
+    q.add_argument("-m", "--maskImage")
     q.add_argument("-o", "--mergeOrder")
     q.add_argument("-y", "--saliency")
     q.set_defaults(fn=cmd_merge_order_pb)
@@ -501,6 +507,7 @@ def build_parser():
     q.add_argument("--normalizeShape", action="store_true")
     q.add_argument("--logShape", action="store_true")
     q.add_argument("--simple", action="store_true")
+    q.add_argument("-m", "--maskImage")
     q.add_argument("-b", "--bfeat", required=True)
     q.set_defaults(fn=cmd_bc_feat)
 
@@ -553,11 +560,13 @@ def build_parser():
     q = sub.add_parser("eval_vi", help="VI: falseSplit falseMerge total")
     q.add_argument("-p", "--resImage", nargs="+", required=True)
     q.add_argument("-r", "--refImage", nargs="+", required=True)
+    q.add_argument("-m", "--mask", nargs="*", default=None)
     q.set_defaults(fn=cmd_eval_vi)
 
     q = sub.add_parser("eval_ri", help="adapted Rand: prec rec error")
     q.add_argument("-p", "--resImage", nargs="+", required=True)
     q.add_argument("-r", "--refImage", nargs="+", required=True)
+    q.add_argument("-m", "--mask", nargs="*", default=None)
     q.add_argument("-a", "--adapted", type=lambda s: s != "0",
                    default=True)
     q.set_defaults(fn=cmd_eval_ri)

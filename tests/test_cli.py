@@ -85,3 +85,19 @@ def test_cli_apply_and_relabel(workdir):
             "-o", f"{dd}/relab.png")
     run_cli("labelcc_image", "-i", f"{dd}/merged5.png",
             "-o", f"{dd}/cc.png")
+
+
+def test_cli_masked_eval(workdir):
+    d, data = workdir
+    dd = str(d)
+    mask = np.ones(data["truth"].shape, dtype=np.uint8)
+    mask[:, :8] = 0
+    write_image(f"{dd}/mask.png", mask)
+    run_cli("eval_ri", "-p", f"{dd}/truth.png", "-r", f"{dd}/truth.png",
+            "-m", f"{dd}/mask.png")
+    run_cli("merge_order_pb", "-s", f"{dd}/seg0.png", "-p", f"{dd}/pb.png",
+            "-m", f"{dd}/mask.png", "-o", f"{dd}/order_m.txt")
+    from glia_tpu.io.text import read_merge_order
+
+    order = read_merge_order(f"{dd}/order_m.txt")
+    assert len(order) > 0
