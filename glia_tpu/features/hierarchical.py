@@ -79,6 +79,49 @@ def _entropy_rows(hist_counts, totals):
     return -(p * lg).sum(axis=1)
 
 
+def _np_interval_sums(leaf_vals, lo, hi):
+    """Exclusive-prefix-sum interval sums: leaf_vals [L, ...] in DFS order,
+    node intervals [lo, hi) -> [M, ...]."""
+    P = np.concatenate([np.zeros((1,) + leaf_vals.shape[1:],
+                                 leaf_vals.dtype),
+                        np.cumsum(leaf_vals, axis=0)], axis=0)
+    return P[hi] - P[lo]
+
+
+def _np_interval_reduce(leaf_vals, lo, hi, kind="min"):
+    """Sparse-table range min/max over DFS-ordered leaf values."""
+    combine = np.minimum if kind == "min" else np.maximum
+    fill = POS_INF if kind == "min" else NEG_INF
+    L = leaf_vals.shape[0]
+    out_shape = (len(lo),) + leaf_vals.shape[1:]
+    if L == 0:
+        return np.full(out_shape, fill)
+    tables = [leaf_vals]
+    k = 1
+    while (1 << k) <= L:
+        prev = tables[-1]
+        half = 1 << (k - 1)
+        tables.append(combine(prev[: L - (1 << k) + 1],
+                              prev[half: L - half + 1]))
+        k += 1
+    lo = np.asarray(lo)
+    hi = np.asarray(hi)
+    length = np.maximum(hi - lo, 1)
+    ks = np.floor(np.log2(length)).astype(np.int64)
+    out = np.full(out_shape, fill, dtype=np.float64)
+    for ki, tab in enumerate(tables):
+        sel = ks == ki
+        if not sel.any():
+            continue
+        a = np.clip(lo[sel], 0, tab.shape[0] - 1)
+        b = np.clip(hi[sel] - (1 << ki), 0, tab.shape[0] - 1)
+        out[sel] = combine(tab[a], tab[b])
+    empty = hi <= lo
+    if empty.any():
+        out[empty] = fill
+    return out
+
+
 class _LazyHeap:
     """Mergeable min-heap with lazy deletion over (value, id) pairs."""
 
@@ -281,41 +324,99 @@ class TreeFeatures:
                     heaps_min[bi][n].push(st["min"][e], e)
                     heaps_max[bi][n].push(-st["max"][e], e)
 
-        # ---------- bottom-up aggregation over internal tree nodes ----------
-        for i in range(tree_n):
+        # ---------- vectorized bottom-up aggregation (DFS intervals) -----
+        # children precede parents in creation order, but the fully
+        # vectorized route uses the DFS-interval identity: each tree
+        # node's leaves are one contiguous interval, so additive stats are
+        # prefix-sum differences and min/max are sparse-table range
+        # queries.  Dying-pair subtractions use the same identity over
+        # pair LCAs sorted by pre-order position.
+        from ..ops.tree_scan import dfs_intervals
+
+        leaf_pos, lo_iv, hi_iv, leaf_order = dfs_intervals(tree)
+        tn = tree_n
+        tidx = np.arange(tn)
+
+        def leaf_sums(values):
+            """values [M, ...] (leaf entries valid) -> tree-node sums."""
+            lv = values[leaf_order]
+            return _np_interval_sums(lv, lo_iv[:tn], hi_iv[:tn])
+
+        def leaf_reduce(values, kind):
+            lv = values[leaf_order]
+            return _np_interval_reduce(lv, lo_iv[:tn], hi_iv[:tn], kind)
+
+        area[:tn] = leaf_sums(area)
+        border[:tn] = leaf_sums(border)
+        bbox_lo[:tn] = leaf_reduce(bbox_lo, "min")
+        bbox_hi[:tn] = leaf_reduce(bbox_hi, "max")
+        for st in r_stats:
+            for k in ("cnt", "sum", "sumsq", "hist"):
+                st[k][:tn] = leaf_sums(st[k])
+            st["min"][:tn] = leaf_reduce(st["min"], "min")
+            st["max"][:tn] = leaf_reduce(st["max"], "max")
+        for h in rl_hist:
+            h[:tn] = leaf_sums(h)
+
+        # dying-pair subtractions: pair dies at node n for all ancestors
+        # of-or-equal n, i.e. nodes whose pre-order interval contains
+        # pre_lo[lca].  Sort dying pairs by that position; per-node dying
+        # totals are prefix-sum interval differences.
+        pre_lo = np.zeros(tn, dtype=np.int64)
+        pre_hi = np.zeros(tn, dtype=np.int64)
+        counter = 0
+        roots = [i for i in range(tn) if tree.parent[i] < 0]
+        for root in roots:
+            stack = [(root, False)]
+            while stack:
+                node, done = stack.pop()
+                if done:
+                    pre_hi[node] = counter
+                    continue
+                pre_lo[node] = counter
+                counter += 1
+                stack.append((node, True))
+                if tree.left[node] >= 0:
+                    stack.append((int(tree.right[node]), False))
+                    stack.append((int(tree.left[node]), False))
+
+        die_ids = np.asarray(
+            [e for e in range(Ed)
+             if mutual[e] and self.dp_lca[e] >= 0], dtype=np.int64)
+        die_pos = pre_lo[self.dp_lca[die_ids]] if len(die_ids) else \
+            np.zeros(0, np.int64)
+        ds = np.argsort(die_pos, kind="stable")
+        die_ids_s = die_ids[ds]
+        die_pos_s = die_pos[ds]
+        a_q = np.searchsorted(die_pos_s, pre_lo[:tn], side="left")
+        b_q = np.searchsorted(die_pos_s, pre_hi[:tn], side="left")
+
+        def dying_sums(values):
+            """values [Ed, ...] -> per-tree-node sums over dying pairs in
+            each node's subtree."""
+            dv = values[die_ids_s]
+            P = np.concatenate([np.zeros((1,) + dv.shape[1:], dv.dtype),
+                                np.cumsum(dv, axis=0)], axis=0)
+            return P[b_q] - P[a_q]
+
+        bd[:tn] = leaf_sums(bd) - dying_sums(dp_cnt)
+        vp[:tn] = leaf_sums(vp) - dying_sums(dp_vp)
+        for bi in range(n_b):
+            st, dst = dp_b[bi], b_stats[bi]
+            for k in ("cnt", "sum", "sumsq", "hist"):
+                dst[k][:tn] = leaf_sums(dst[k]) - dying_sums(st[k])
+
+        # boundary min/max: sequential mergeable-heap pass (the only
+        # non-interval-decomposable statistic); pairs turn dead exactly at
+        # their LCA so ancestors' peeks skip them
+        for i in range(tn):
             l, r = int(tree.left[i]), int(tree.right[i])
             if l < 0:
                 continue
-            area[i] += area[l] + area[r]
-            border[i] += border[l] + border[r]
-            bbox_lo[i] = np.minimum(bbox_lo[l], bbox_lo[r])
-            bbox_hi[i] = np.maximum(bbox_hi[l], bbox_hi[r])
-            for st in r_stats:
-                st["cnt"][i] = st["cnt"][l] + st["cnt"][r]
-                st["sum"][i] = st["sum"][l] + st["sum"][r]
-                st["sumsq"][i] = st["sumsq"][l] + st["sumsq"][r]
-                st["min"][i] = min(st["min"][l], st["min"][r])
-                st["max"][i] = max(st["max"][l], st["max"][r])
-                st["hist"][i] = st["hist"][l] + st["hist"][r]
-            for h in rl_hist:
-                h[i] = h[l] + h[r]
-            die = dying.get(i, [])
-            bd[i] = bd[l] + bd[r] - sum(dp_cnt[e] for e in die)
-            vp[i] = vp[l] + vp[r]
-            for e in die:
-                vp[i] -= dp_vp[e]
+            for e in dying.get(i, []):
                 dead[e] = True
             for bi in range(n_b):
-                st, dst = dp_b[bi], b_stats[bi]
-                dst["cnt"][i] = dst["cnt"][l] + dst["cnt"][r]
-                dst["sum"][i] = dst["sum"][l] + dst["sum"][r]
-                dst["sumsq"][i] = dst["sumsq"][l] + dst["sumsq"][r]
-                dst["hist"][i] = dst["hist"][l] + dst["hist"][r]
-                for e in die:
-                    dst["cnt"][i] -= st["cnt"][e]
-                    dst["sum"][i] -= st["sum"][e]
-                    dst["sumsq"][i] -= st["sumsq"][e]
-                    dst["hist"][i] -= st["hist"][e]
+                dst = b_stats[bi]
                 hm = heaps_min[bi][i]
                 hm.absorb(heaps_min[bi][l])
                 hm.absorb(heaps_min[bi][r])
@@ -597,7 +698,6 @@ class TreeFeatures:
         nT = len(cfg.boundary_thresholds)
         tree = self.tree
         node_of_merge = np.nonzero(~tree.is_leaf)[0]
-        merge_of_node = {int(nd): mi for mi, nd in enumerate(node_of_merge)}
         cnt = np.zeros(n)
         vp = np.zeros((n, nT))
         b = [
@@ -606,21 +706,23 @@ class TreeFeatures:
              "hist": np.zeros((n, img.hist_bins))}
             for img in cfg.b_images
         ]
-        for e in range(len(self.rag.dir_pairs)):
-            nd = int(self.dp_lca[e])
-            mi = merge_of_node.get(nd, -1)
-            if mi < 0:
-                continue
-            cnt[mi] += self._dp_cnt[e]
-            vp[mi] += self._dp_vp[e]
-            for bi, st in enumerate(self._dp_b):
-                b[bi]["cnt"][mi] += st["cnt"][e]
-                b[bi]["sum"][mi] += st["sum"][e]
-                b[bi]["sumsq"][mi] += st["sumsq"][e]
-                b[bi]["hist"][mi] += st["hist"][e]
-                if st["cnt"][e] > 0:
-                    b[bi]["min"][mi] = min(b[bi]["min"][mi], st["min"][e])
-                    b[bi]["max"][mi] = max(b[bi]["max"][mi], st["max"][e])
+        # vectorized: map pair LCAs -> merge indices, scatter-accumulate
+        node_to_merge = np.full(tree.n_nodes, -1, dtype=np.int64)
+        node_to_merge[node_of_merge] = np.arange(n)
+        lca = np.asarray(self.dp_lca)
+        mi = np.where(lca >= 0, node_to_merge[np.maximum(lca, 0)], -1)
+        ok = mi >= 0
+        mio = mi[ok]
+        np.add.at(cnt, mio, self._dp_cnt[ok])
+        np.add.at(vp, mio, self._dp_vp[ok])
+        for bi, st in enumerate(self._dp_b):
+            np.add.at(b[bi]["cnt"], mio, st["cnt"][ok])
+            np.add.at(b[bi]["sum"], mio, st["sum"][ok])
+            np.add.at(b[bi]["sumsq"], mio, st["sumsq"][ok])
+            np.add.at(b[bi]["hist"], mio, st["hist"][ok])
+            nz = ok & (st["cnt"] > 0)
+            np.minimum.at(b[bi]["min"], mi[nz], st["min"][nz])
+            np.maximum.at(b[bi]["max"], mi[nz], st["max"][nz])
         return cnt, vp, b
 
     def boundary_features(self) -> np.ndarray:
