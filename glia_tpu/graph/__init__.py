@@ -1,3 +1,4 @@
 from .merge import apply_merge_order, greedy_merge_order
+from .merge_bc_device import merge_order_bc_device
 from .rag import Rag, build_rag
 from .tree import MergeTree, build_tree, gen_merge_paths, node_potentials

@@ -306,7 +306,7 @@ def greedy_merge_bc(rag: Rag, cfg: FeatureConfig,
         nonlocal seq
         if p is None:
             feats = state.candidate_features(c0, c1)
-            p = float(predict(feats))
+            p = float(np.asarray(predict(feats)).reshape(-1)[0])
         key = (min(c0, c1), max(c0, c1))
         entry_seq[key] = seq
         # pop max probability; ties -> latest inserted first

@@ -145,16 +145,25 @@ def hist_median_stat(h, lo=0.0, hi=1.0):
     return lo + (idx + 0.5) * width
 
 
-def merge_batched_device(u, v, s, c, n_regions, max_supersteps=64,
-                         dtype=None):
-    """Batched superstep merge (speed mode).
+def _superstep_merge_core(u, v, payload, stat_fn, n_regions,
+                          max_supersteps, dtype):
+    """Shared batched-superstep merge loop (speed mode).
 
-    Each superstep merges all edges that are the strict (index-tiebroken)
-    minimum of both endpoints.  Returns (order, saliencies, n_merges).
+    Each superstep merges all edges that are the (index-tiebroken) minimum
+    of BOTH endpoints' incident edges -- a conflict-free independent set --
+    then relabels endpoints and combines duplicate pairs.  ``payload`` is a
+    tuple of per-edge arrays ([E] or [E, W]) that combine ADDITIVELY under
+    edge splicing (boundary_table.hxx:122-167's pixel-list splice becomes a
+    segment-sum of mergeable sketches); ``stat_fn(payload) -> stat [E]``
+    maps the sketch to the (non-negative) merge statistic.
 
-    The per-edge data (s, c) may be (sum, count) for the pooled-mean
-    policy; ``merge_batched_device_hist`` runs the same superstep loop on
-    histogram sketches for the approx-median policy.
+    Compile-cost design for the TPU remote-compile tunnel: the dedupe sorts
+    ONLY (lo, hi, iota) -- three int32 operands -- and moves every payload
+    by gathers, instead of a wide variadic ``lax.sort`` whose comparator
+    code blows up compile time with many operands (round-1 lesson,
+    RESULTS.md).
+
+    Returns (order [max_m, 3] int32, saliencies=-stat, n_merges).
     """
     import jax
     import jax.numpy as jnp
@@ -163,13 +172,10 @@ def merge_batched_device(u, v, s, c, n_regions, max_supersteps=64,
     R = int(n_regions)
     max_m = max(R - 1, 1)
     n_ids = R + max_m
-    if dtype is None:
-        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
     u0 = jnp.asarray(u, jnp.int32)
     v0 = jnp.asarray(v, jnp.int32)
-    s0 = jnp.asarray(s, dtype)
-    c0 = jnp.asarray(c, dtype)
+    payload0 = tuple(jnp.asarray(p, dtype) for p in payload)
     alive0 = jnp.ones(E, bool)
     order0 = jnp.full((max_m, 3), -1, jnp.int32)
     sal0 = jnp.zeros(max_m, dtype)
@@ -177,12 +183,12 @@ def merge_batched_device(u, v, s, c, n_regions, max_supersteps=64,
     BIG = jnp.asarray(jnp.inf, dtype)
 
     def cond(state):
-        step, n_m, u, v, s, c, alive, order, sal = state
+        step, n_m, u, v, payload, alive, order, sal = state
         return (step < max_supersteps) & alive.any() & (n_m < max_m)
 
     def body(state):
-        step, n_m, u, v, s, c, alive, order, sal = state
-        stat = jnp.where(alive, s / jnp.maximum(c, 1.0), BIG)
+        step, n_m, u, v, payload, alive, order, sal = state
+        stat = jnp.where(alive, stat_fn(payload), BIG)
         # per-region minimum incident edge, ties by lowest edge index.
         # Two-stage int32 scatter-min (no int64 needed on TPU): first the
         # min stat bits per region (IEEE bits are monotonic for floats>=0),
@@ -192,8 +198,8 @@ def merge_batched_device(u, v, s, c, n_regions, max_supersteps=64,
         big32 = jnp.int32(2 ** 31 - 1)
         bits = jnp.where(alive, bits, big32)
         rbits = jnp.full(n_ids, big32, jnp.int32)
-        rbits = rbits.at[u].min(jnp.where(alive, bits, big32))
-        rbits = rbits.at[v].min(jnp.where(alive, bits, big32))
+        rbits = rbits.at[u].min(bits)
+        rbits = rbits.at[v].min(bits)
         cand = alive & (rbits[u] == bits) & (rbits[v] == bits)
         ridx = jnp.full(n_ids, E, jnp.int32)
         ridx = ridx.at[u].min(jnp.where(cand, idx, E))
@@ -222,42 +228,81 @@ def merge_batched_device(u, v, s, c, n_regions, max_supersteps=64,
         u = lut[u]
         v = lut[v]
         alive = alive & ~ok & (u != v)
-        # dedupe duplicate pairs: lexicographic sort on (lo, hi) (int32-safe
-        # multi-key sort), then segment-combine runs of equal pairs
-        lo = jnp.minimum(u, v)
-        hi = jnp.maximum(u, v)
-        # dead edges sort to the end
-        lo_k = jnp.where(alive, lo, jnp.int32(n_ids))
-        hi_k = jnp.where(alive, hi, idx)
-        lo_s, hi_s, u_s, v_s, s_s, c_s, alive_s = jax.lax.sort(
-            (lo_k, hi_k, u, v, s, c, alive), num_keys=2)
+        # dedupe duplicate pairs: sort only (lo, hi, iota) and permute all
+        # payloads by gather; then segment-combine runs of equal pairs
+        lo_k = jnp.where(alive, jnp.minimum(u, v), jnp.int32(n_ids))
+        hi_k = jnp.where(alive, jnp.maximum(u, v), idx)
+        lo_s, hi_s, perm = jax.lax.sort((lo_k, hi_k, idx), num_keys=2)
+        u = jnp.take(u, perm)
+        v = jnp.take(v, perm)
+        alive_s = jnp.take(alive, perm)
+        payload = tuple(jnp.take(p, perm, axis=0) for p in payload)
         first = jnp.concatenate(
             [jnp.ones(1, bool),
              (lo_s[1:] != lo_s[:-1]) | (hi_s[1:] != hi_s[:-1])])
         seg_id = jnp.cumsum(first.astype(jnp.int32)) - 1
-        s_seg = jax.ops.segment_sum(jnp.where(alive_s, s_s, 0.0),
-                                    seg_id, num_segments=E)
-        c_seg = jax.ops.segment_sum(jnp.where(alive_s, c_s, 0.0),
-                                    seg_id, num_segments=E)
         keep = first & alive_s
-        s = jnp.where(keep, s_seg[seg_id], s_s)
-        c = jnp.where(keep, c_seg[seg_id], c_s)
-        u = u_s
-        v = v_s
+        combined = []
+        for p in payload:
+            pz = jnp.where(
+                alive_s[:, None] if p.ndim == 2 else alive_s, p, 0.0)
+            p_seg = jax.ops.segment_sum(pz, seg_id, num_segments=E)
+            combined.append(jnp.where(
+                keep[:, None] if p.ndim == 2 else keep, p_seg[seg_id], p))
+        payload = tuple(combined)
         alive = alive_s & keep
         n_m = jnp.minimum(n_m + n_new, max_m)
-        return step + 1, n_m, u, v, s, c, alive, order, sal
+        return step + 1, n_m, u, v, payload, alive, order, sal
 
-    @jax.jit
-    def run(u0, v0, s0, c0):
+    def run(u0, v0, payload0):
         return jax.lax.while_loop(
             cond, body,
-            (jnp.int32(0), jnp.int32(0), u0, v0, s0, c0, alive0, order0,
+            (jnp.int32(0), jnp.int32(0), u0, v0, payload0, alive0, order0,
              sal0))
 
-    st = run(u0, v0, s0, c0)
+    # cache the compiled program across calls (a fresh closure per call
+    # would re-trace every time; the key pins every shape-determining
+    # input)
+    key = (stat_fn, E, R, max_supersteps, str(dtype),
+           tuple((p.shape, str(p.dtype)) for p in payload0))
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(run)
+        _JIT_CACHE[key] = fn
+
+    st = fn(u0, v0, payload0)
     step, n_m, *_, order, sal = st
     return order, sal, int(n_m)
+
+
+_JIT_CACHE = {}
+
+
+def _mean_stat(payload):
+    import jax.numpy as jnp
+
+    s, c = payload
+    return s / jnp.maximum(c, 1.0)
+
+
+def merge_batched_device(u, v, s, c, n_regions, max_supersteps=64,
+                         dtype=None):
+    """Batched superstep merge, pooled-mean policy (speed mode).
+
+    Per-edge data (s, c) = (sum, count) of boundary pb; statistic = s/c
+    (util/struct_merge.hxx:38-85 semantics under splice-as-sum).
+    Returns (order, saliencies, n_merges)."""
+    import jax
+    import jax.numpy as jnp
+
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+    return _superstep_merge_core(u, v, (s, c), _mean_stat, n_regions,
+                                 max_supersteps, dtype)
+
+
+_HIST_STATS = {}
 
 
 def merge_batched_device_hist(u, v, h, n_regions, max_supersteps=64,
@@ -269,95 +314,18 @@ def merge_batched_device_hist(u, v, h, n_regions, max_supersteps=64,
     import jax
     import jax.numpy as jnp
 
-    E, NB = h.shape
-    R = int(n_regions)
-    max_m = max(R - 1, 1)
-    n_ids = R + max_m
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
-    u0 = jnp.asarray(u, jnp.int32)
-    v0 = jnp.asarray(v, jnp.int32)
-    h0 = jnp.asarray(h, dtype)
-    alive0 = jnp.ones(E, bool)
-    order0 = jnp.full((max_m, 3), -1, jnp.int32)
-    sal0 = jnp.zeros(max_m, dtype)
-    idx = jnp.arange(E, dtype=jnp.int32)
-    BIG = jnp.asarray(jnp.inf, dtype)
+    stat_fn = _HIST_STATS.get((lo, hi))
+    if stat_fn is None:
+        def stat_fn(payload, _lo=lo, _hi=hi):
+            (h,) = payload
+            return hist_median_stat(h, _lo, _hi)
+        _HIST_STATS[(lo, hi)] = stat_fn
 
-    def cond(state):
-        step, n_m, u, v, h, alive, order, sal = state
-        return (step < max_supersteps) & alive.any() & (n_m < max_m)
-
-    def body(state):
-        step, n_m, u, v, h, alive, order, sal = state
-        stat = jnp.where(alive, hist_median_stat(h, lo, hi), BIG)
-        bits = jax.lax.bitcast_convert_type(
-            stat.astype(jnp.float32), jnp.int32)
-        big32 = jnp.int32(2 ** 31 - 1)
-        bits = jnp.where(alive, bits, big32)
-        rbits = jnp.full(n_ids, big32, jnp.int32)
-        rbits = rbits.at[u].min(bits)
-        rbits = rbits.at[v].min(bits)
-        cand = alive & (rbits[u] == bits) & (rbits[v] == bits)
-        ridx = jnp.full(n_ids, E, jnp.int32)
-        ridx = ridx.at[u].min(jnp.where(cand, idx, E))
-        ridx = ridx.at[v].min(jnp.where(cand, idx, E))
-        is_merge = cand & (ridx[u] == idx) & (ridx[v] == idx)
-        rank = jnp.cumsum(is_merge.astype(jnp.int32)) - 1
-        ok = is_merge & (n_m + rank < max_m)
-        n_new = ok.sum().astype(jnp.int32)
-        r2 = (R + n_m + rank).astype(jnp.int32)
-        rows = jnp.stack([u, v, r2], axis=1)
-        slot = jnp.where(ok, n_m + rank, max_m)
-        order_pad = jnp.concatenate(
-            [order, jnp.full((1, 3), -1, jnp.int32)], axis=0)
-        order = order_pad.at[slot].set(
-            jnp.where(ok[:, None], rows, -1))[:max_m]
-        sal_pad = jnp.concatenate([sal, jnp.zeros(1, sal.dtype)])
-        sal = sal_pad.at[slot].set(jnp.where(ok, -stat, 0.0))[:max_m]
-        lut = jnp.arange(n_ids + 1, dtype=jnp.int32)
-        src_u = jnp.where(ok, u, n_ids)
-        src_v = jnp.where(ok, v, n_ids)
-        lut = lut.at[src_u].set(jnp.where(ok, r2, n_ids))
-        lut = lut.at[src_v].set(jnp.where(ok, r2, n_ids))
-        u = lut[u]
-        v = lut[v]
-        alive = alive & ~ok & (u != v)
-        # dedupe via lexicographic permutation (stable two-pass argsort)
-        lo_k = jnp.where(alive, jnp.minimum(u, v), jnp.int32(n_ids))
-        hi_k = jnp.where(alive, jnp.maximum(u, v), idx)
-        p1 = jnp.argsort(hi_k, stable=True)
-        p2 = jnp.argsort(lo_k[p1], stable=True)
-        perm = p1[p2]
-        lo_s = lo_k[perm]
-        hi_s = hi_k[perm]
-        u = u[perm]
-        v = v[perm]
-        h_s = h[perm]
-        alive_s = alive[perm]
-        first = jnp.concatenate(
-            [jnp.ones(1, bool),
-             (lo_s[1:] != lo_s[:-1]) | (hi_s[1:] != hi_s[:-1])])
-        seg_id = jnp.cumsum(first.astype(jnp.int32)) - 1
-        h_seg = jax.ops.segment_sum(
-            jnp.where(alive_s[:, None], h_s, 0.0), seg_id,
-            num_segments=E)
-        keep = first & alive_s
-        h = jnp.where(keep[:, None], h_seg[seg_id], h_s)
-        alive = alive_s & keep
-        n_m = jnp.minimum(n_m + n_new, max_m)
-        return step + 1, n_m, u, v, h, alive, order, sal
-
-    @jax.jit
-    def run(u0, v0, h0):
-        return jax.lax.while_loop(
-            cond, body,
-            (jnp.int32(0), jnp.int32(0), u0, v0, h0, alive0, order0, sal0))
-
-    st = run(u0, v0, h0)
-    step, n_m, *_, order, sal = st
-    return order, sal, int(n_m)
+    return _superstep_merge_core(u, v, (h,), stat_fn, n_regions,
+                                 max_supersteps, dtype)
 
 
 def threshold_cut(order, stats, tau):

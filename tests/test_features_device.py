@@ -1,0 +1,165 @@
+"""Device (JAX) BC feature assembly vs the host serializer oracle."""
+
+import numpy as np
+import pytest
+
+from glia_tpu.features.config import FeatureConfig, HistImage
+from glia_tpu.features.device import (
+    DeviceFeatureSpec,
+    bc_features_dev,
+    boundary_features_dev,
+    region_features_dev,
+)
+from glia_tpu.features.serialize import bc_vector, region_vector
+
+
+def _random_cfg(rng, n_r=2, n_b=2, n_rl=1, bins=8, use_log=False,
+                hist_feats=False):
+    shape = (16, 16)
+    imgs = [HistImage(rng.random(shape), bins, (0.0, 1.0), f"i{i}")
+            for i in range(max(n_r, n_b))]
+    return FeatureConfig(
+        pb_image=rng.random(shape),
+        r_images=imgs[:n_r],
+        rl_images=[HistImage(rng.integers(0, 4, shape).astype(float),
+                             bins, (0.0, 4.0), "lab")] * n_rl,
+        b_images=imgs[:n_b],
+        boundary_thresholds=[0.2, 0.5, 0.8],
+        normalizing_area=7.0,
+        normalizing_length=3.0,
+        use_log_shape=use_log,
+        histogram_as_feats=hist_feats,
+    )
+
+
+def _random_host_record(rng, cfg, ndim=2, empty_b=False):
+    nT = len(cfg.boundary_thresholds)
+    bd = float(rng.integers(0 if empty_b else 1, 20))
+    rec = {
+        "area": float(rng.integers(1, 50)),
+        "border": float(rng.integers(0, 6)),
+        "bd": bd,
+        "bbox_lo": rng.integers(0, 4, ndim).astype(float),
+        "bbox_hi": rng.integers(4, 12, ndim).astype(float),
+        "vp": rng.integers(0, max(int(bd), 1) + 1, nT).astype(float),
+        "r": [], "rl": [], "b": [],
+    }
+    for img in cfg.r_images:
+        cnt = rec["area"]
+        v = rng.random(int(cnt))
+        h = np.histogram(v, img.hist_bins, img.hist_range)[0].astype(float)
+        rec["r"].append([cnt, float(v.sum()), float((v * v).sum()),
+                         float(v.min()), float(v.max()), h])
+    for img in cfg.rl_images:
+        h = rng.integers(0, 5, img.hist_bins).astype(float)
+        # label hist totals need not equal area (binning quirk), keep as-is
+        rec["rl"].append(h)
+    for img in cfg.b_images:
+        if bd <= 0:
+            rec["b"].append([0.0, 0.0, 0.0, np.inf, -np.inf,
+                             np.zeros(img.hist_bins)])
+            continue
+        v = rng.random(int(bd))
+        h = np.histogram(v, img.hist_bins, img.hist_range)[0].astype(float)
+        rec["b"].append([float(len(v)), float(v.sum()), float((v * v).sum()),
+                         float(v.min()), float(v.max()), h])
+    return rec
+
+
+def _random_pair(rng, cfg, empty=False):
+    nT = len(cfg.boundary_thresholds)
+    cnt = 0.0 if empty else float(rng.integers(1, 15))
+    pair = {"cnt": cnt,
+            "vp": rng.integers(0, max(int(cnt), 1) + 1, nT).astype(float),
+            "b": []}
+    for img in cfg.b_images:
+        if cnt <= 0:
+            pair["b"].append((0.0, 0.0, 0.0, np.inf, -np.inf,
+                              np.zeros(img.hist_bins)))
+            continue
+        v = rng.random(int(cnt))
+        h = np.histogram(v, img.hist_bins, img.hist_range)[0].astype(float)
+        pair["b"].append((float(len(v)), float(v.sum()),
+                          float((v * v).sum()), float(v.min()),
+                          float(v.max()), h))
+    return pair
+
+
+def _stack_records(recs, cfg, ndim=2):
+    """Host record dicts -> stacked device record arrays."""
+    import jax.numpy as jnp
+
+    n_r, n_rl, n_b = len(cfg.r_images), len(cfg.rl_images), len(cfg.b_images)
+    out = {
+        "area": [], "border": [], "bd": [], "bbox_lo": [], "bbox_hi": [],
+        "vp": [], "r_cnt": [], "r_sum": [], "r_sumsq": [], "r_min": [],
+        "r_max": [], "r_hist": [], "rl_hist": [], "b_cnt": [], "b_sum": [],
+        "b_sumsq": [], "b_min": [], "b_max": [], "b_hist": [],
+    }
+    for rec in recs:
+        for k in ("area", "border", "bd", "bbox_lo", "bbox_hi", "vp"):
+            out[k].append(rec[k])
+        for j, pre in ((0, "cnt"), (1, "sum"), (2, "sumsq"), (3, "min"),
+                       (4, "max"), (5, "hist")):
+            out[f"r_{pre}"].append([rec["r"][i][j] for i in range(n_r)])
+            out[f"b_{pre}"].append([rec["b"][i][j] for i in range(n_b)])
+        out["rl_hist"].append([rec["rl"][i] for i in range(n_rl)])
+    return {k: jnp.asarray(np.asarray(v, dtype=np.float64))
+            for k, v in out.items()}
+
+
+def _stack_pairs(pairs, cfg):
+    import jax.numpy as jnp
+
+    n_b = len(cfg.b_images)
+    out = {"cnt": [], "vp": [], "b_cnt": [], "b_sum": [], "b_sumsq": [],
+           "b_min": [], "b_max": [], "b_hist": []}
+    for p in pairs:
+        out["cnt"].append(p["cnt"])
+        out["vp"].append(p["vp"])
+        for j, pre in ((0, "cnt"), (1, "sum"), (2, "sumsq"), (3, "min"),
+                       (4, "max"), (5, "hist")):
+            out[f"b_{pre}"].append([p["b"][i][j] for i in range(n_b)])
+    return {k: jnp.asarray(np.asarray(v, dtype=np.float64))
+            for k, v in out.items()}
+
+
+@pytest.mark.parametrize("use_log,hist_feats", [
+    (False, False), (True, False), (False, True), (True, True)])
+def test_bc_features_device_matches_host(rng, use_log, hist_feats):
+    cfg = _random_cfg(rng, use_log=use_log, hist_feats=hist_feats)
+    spec = DeviceFeatureSpec.from_config(cfg, ndim=2)
+    N = 12
+    r0 = [_random_host_record(rng, cfg, empty_b=(i == 3)) for i in range(N)]
+    r1 = [_random_host_record(rng, cfg) for i in range(N)]
+    r2 = [_random_host_record(rng, cfg) for i in range(N)]
+    pr = [_random_pair(rng, cfg, empty=(i == 5)) for i in range(N)]
+    host = np.stack([bc_vector(r0[i], r1[i], r2[i], pr[i], cfg, 2)
+                     for i in range(N)])
+    dev = bc_features_dev(_stack_records(r0, cfg), _stack_records(r1, cfg),
+                          _stack_records(r2, cfg), _stack_pairs(pr, cfg),
+                          spec)
+    assert dev.shape == host.shape
+    np.testing.assert_allclose(np.asarray(dev), host, rtol=1e-12, atol=1e-12)
+
+
+def test_region_features_device_matches_host(rng):
+    cfg = _random_cfg(rng, n_r=1, n_b=1, n_rl=2)
+    spec = DeviceFeatureSpec.from_config(cfg, ndim=2)
+    recs = [_random_host_record(rng, cfg) for _ in range(8)]
+    host = np.stack([region_vector(r, cfg, 2) for r in recs])
+    dev = region_features_dev(_stack_records(recs, cfg), spec)
+    np.testing.assert_allclose(np.asarray(dev), host, rtol=1e-12, atol=1e-12)
+
+
+def test_feature_dims_match_config(rng):
+    cfg = _random_cfg(rng)
+    spec = DeviceFeatureSpec.from_config(cfg, ndim=2)
+    recs = [_random_host_record(rng, cfg) for _ in range(2)]
+    pairs = [_random_pair(rng, cfg) for _ in range(2)]
+    sr = _stack_records(recs, cfg)
+    sp = _stack_pairs(pairs, cfg)
+    rf = region_features_dev(sr, spec)
+    bf = boundary_features_dev(sr, sr, sr, sp, spec)
+    assert rf.shape[1] == cfg.region_feat_dim(2, with_saliency=False)
+    assert bf.shape[1] == cfg.boundary_feat_dim(with_saliency=False)

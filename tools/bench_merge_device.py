@@ -1,0 +1,102 @@
+"""Measure the batched superstep merge engine on the real TPU.
+
+VERDICT round-1 item #2: the engine must compile in <60s through the
+remote-compile tunnel and beat the host C++ exact-serial engine
+(~313k edges/s) at >=100k-edge RAGs, with threshold-cut VI parity
+(tested separately in tests/test_merge_device.py).
+
+Usage: python tools/bench_merge_device.py [side] [n_cells]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    side = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    n_cells = int(sys.argv[2]) if len(sys.argv) > 2 else (side // 14) ** 2
+
+    import scipy.ndimage as ndi
+
+    from glia_tpu.data.synthetic import synthetic_em_slice
+    from glia_tpu.graph.merge_device import (
+        edge_mean_arrays, merge_batched_device, threshold_cut, order_to_keys)
+    from glia_tpu.graph.rag import build_rag
+    from glia_tpu.native import greedy_merge_native, watershed_native
+
+    t0 = time.time()
+    data = synthetic_em_slice(shape=(side, side), n_cells=n_cells, seed=11,
+                              blur=1.2, noise=0.12)
+    pb = data["pb"]
+    seg = watershed_native(ndi.gaussian_filter(pb, 1.0), level=0.004)
+    rag = build_rag(seg, contour_only=False)
+    log(f"setup: {side}x{side}, {rag.n_regions} regions, {rag.n_edges} edges"
+        f" ({time.time()-t0:.1f}s)")
+
+    # host baseline: exact serial greedy (the reference's hot loop)
+    t0 = time.time()
+    order_h, sal_h = greedy_merge_native(rag, pb, policy="mean")
+    host_dt = time.time() - t0
+    host_edges_s = (rag.n_edges + len(order_h)) / host_dt
+    log(f"host serial greedy: {len(order_h)} merges in {host_dt:.2f}s -> "
+        f"{host_edges_s:,.0f} edges/s")
+
+    import jax
+    log(f"device: {jax.devices()[0]}")
+
+    u, v, s, c = edge_mean_arrays(rag, pb)
+    t0 = time.time()
+    order_b, sal_b, n_m = merge_batched_device(u, v, s, c, rag.n_regions)
+    first_dt = time.time() - t0
+    log(f"first call (compile+run): {first_dt:.1f}s, {n_m} merges")
+
+    run_dt = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        order_b, sal_b, n_m = merge_batched_device(u, v, s, c, rag.n_regions)
+        run_dt = min(run_dt, time.time() - t0)
+    dev_edges_s = (rag.n_edges + n_m) / run_dt
+    log(f"steady-state run: {run_dt:.3f}s -> {dev_edges_s:,.0f} edges/s "
+        f"({dev_edges_s/host_edges_s:.1f}x host)")
+
+    # threshold-cut quality parity vs serial
+    from glia_tpu.graph.merge import apply_merge_order
+    from glia_tpu.metrics import eval_vi
+
+    k = rag.n_regions - n_cells
+    tau = -sal_h[k - 1]
+    okeys = order_to_keys(order_b, n_m, rag)
+    mask = threshold_cut(okeys, -np.asarray(sal_b)[:n_m], tau)
+    seg_b = apply_merge_order(seg, okeys[mask])
+    seg_h = apply_merge_order(seg, order_h, threshold_index=k)
+    _, _, vi_b = eval_vi(seg_b, data["truth"])
+    _, _, vi_h = eval_vi(seg_h, data["truth"])
+    log(f"threshold-cut VI: serial {vi_h:.4f} vs batched {vi_b:.4f}")
+    print(f"{{\"edges\": {rag.n_edges}, \"compile_s\": {first_dt-run_dt:.1f},"
+          f" \"device_edges_s\": {dev_edges_s:.0f},"
+          f" \"host_edges_s\": {host_edges_s:.0f},"
+          f" \"vi_serial\": {vi_h:.4f}, \"vi_batched\": {vi_b:.4f}}}")
+
+
+if __name__ == "__main__":
+    rc = 0
+    try:
+        main()
+    except BaseException:
+        import traceback
+
+        traceback.print_exc()
+        rc = 1
+    finally:
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(rc)  # background accelerator threads block normal exit
