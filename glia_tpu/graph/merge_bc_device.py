@@ -423,19 +423,10 @@ def _select_independent_max(probs, valid, eu, ev, C):
     return cand & (ridx[eu] == idx) & (ridx[ev] == idx)
 
 
-def make_superstep(static: BcDeviceStatic,
-                   predict_fn: Callable,
-                   forced: bool = False):
-    """Build the jitted superstep.
-
-    predict_fn: feats [E, D] -> probs [E] (device classifier; traced into
-    the same XLA program).  When ``forced`` is True the superstep takes an
-    explicit boolean merge mask instead of running selection (used by the
-    replay-parity tests).
-
-    The step returns (state, order_rows [E, 3], sal [E], merge_mask [E],
-    n_table_left).
-    """
+def _make_step_fn(static: BcDeviceStatic, predict_fn: Callable,
+                  forced: bool = False):
+    """The raw (untraced) superstep function shared by the one-step and
+    full-loop builders."""
     import jax
     import jax.numpy as jnp
 
@@ -596,50 +587,119 @@ def make_superstep(static: BcDeviceStatic,
         st["e_alive"] = alive_s & keep
         st["next_id"] = state["next_id"] + n_new
 
+        n_scored = valid.sum()
         n_left = (st["e_alive"] & st["e_table"]).sum()
-        return st, rows, probs, ok, n_left
+        return st, rows, probs, ok, n_left, n_scored
 
+    return step
+
+
+def make_superstep(static: BcDeviceStatic,
+                   predict_fn: Callable,
+                   forced: bool = False):
+    """Build the jitted single superstep.
+
+    predict_fn: feats [E, D] -> probs [E] (device classifier; traced into
+    the same XLA program).  When ``forced`` is True the superstep takes an
+    explicit boolean merge mask instead of running selection (used by the
+    replay-parity tests).
+
+    The step returns (state, order_rows [E, 3], sal [E], merge_mask [E],
+    n_table_left, n_scored).
+    """
+    import jax
+
+    step = _make_step_fn(static, predict_fn, forced)
     if forced:
         return jax.jit(lambda state, mask: step(state, mask))
     return jax.jit(lambda state: step(state))
 
 
+def make_merge_loop(static: BcDeviceStatic, predict_fn: Callable,
+                    max_supersteps: int):
+    """The full classifier-in-the-loop merge as ONE device program: a
+    ``lax.while_loop`` over supersteps carrying the order/saliency buffers,
+    so no host round-trip happens between supersteps (the remote-execute
+    latency otherwise dominates, ~0.8s/step through the TPU tunnel).
+
+    Returns jitted fn(state) -> (order [max_m, 3] dense-id rows, sal,
+    n_merges, n_scored_total, n_steps).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    C, E, R = static.C, static.E, static.R
+    max_m = max(R - 1, 1)
+    step = _make_step_fn(static, predict_fn)
+
+    def cond(carry):
+        state, order, sal, n_scored, n_steps, n_left = carry
+        return (n_left > 0) & (n_steps < max_supersteps)
+
+    def body(carry):
+        state, order, sal, n_scored, n_steps, n_left = carry
+        st, rows, probs, ok, n_left2, scored = step(state)
+        slot = jnp.where(ok, rows[:, 2] - R, max_m)
+        order_pad = jnp.concatenate(
+            [order, jnp.full((1, 3), -1, jnp.int32)], axis=0)
+        order = order_pad.at[slot].set(
+            jnp.where(ok[:, None], rows, -1))[:max_m]
+        sal_pad = jnp.concatenate([sal, jnp.zeros(1, sal.dtype)])
+        sal = sal_pad.at[slot].set(
+            jnp.where(ok, probs.astype(sal.dtype), 0.0))[:max_m]
+        return (st, order, sal, n_scored + scored.astype(n_scored.dtype),
+                n_steps + 1, n_left2)
+
+    @jax.jit
+    def run(state):
+        order0 = jnp.full((max_m, 3), -1, jnp.int32)
+        sal0 = jnp.zeros(max_m)
+        n_left0 = (state["e_alive"] & state["e_table"]).sum()
+        carry = (state, order0, sal0, jnp.int32(0), jnp.int32(0), n_left0)
+        state, order, sal, n_scored, n_steps, _ = jax.lax.while_loop(
+            cond, body, carry)
+        n_m = state["next_id"] - R
+        return order, sal, n_m, n_scored, n_steps
+
+    return run
+
+
 def merge_order_bc_device(rag: Rag, cfg: FeatureConfig, predict_fn,
-                          max_supersteps: Optional[int] = None):
+                          max_supersteps: Optional[int] = None,
+                          stats: Optional[dict] = None):
     """Batched classifier-in-the-loop merge on device.
 
     predict_fn: jittable feats [E, D] -> merge probabilities [E].
     Returns (order [n, 3] int64 label keys, probabilities [n]).  Like the
     host greedy_merge_bc but merging the per-superstep independent set of
     probability maxima instead of one pop per iteration.
+
+    When a ``stats`` dict is passed it is filled with superstep counters
+    (n_supersteps, candidates scored).
     """
     import jax.numpy as jnp
 
     state_np, static = build_state(rag, cfg)
     state = {k: jnp.asarray(v) for k, v in state_np.items()}
-    step_fn = make_superstep(static, predict_fn)
     if max_supersteps is None:
         max_supersteps = 4 * int(np.ceil(np.log2(max(static.R, 2)))) + 16
+    # the whole merge runs as ONE device program (no per-superstep host
+    # sync -- remote-execute latency would dominate otherwise)
+    key = (static.C, static.E, static.R, predict_fn, max_supersteps)
+    run = _LOOP_CACHE.get(key)
+    if run is None:
+        run = make_merge_loop(static, predict_fn, max_supersteps)
+        _LOOP_CACHE[key] = run
+    order_buf, sal_buf, n_m, n_scored, n_steps = run(state)
+    n_m = int(n_m)
+    if stats is not None:
+        stats["n_supersteps"] = int(n_steps)
+        stats["n_scored"] = int(n_scored)
+        stats["E"] = static.E
+        stats["feat_dim"] = static.feat_dim
 
-    rows_all, sal_all = [], []
-    for _ in range(max_supersteps):
-        state, rows, probs, ok, n_left = step_fn(state)
-        ok_np = np.asarray(ok)
-        if ok_np.any():
-            r = np.asarray(rows)[ok_np]
-            s = np.asarray(probs)[ok_np]
-            o = np.argsort(r[:, 2], kind="stable")
-            rows_all.append(r[o])
-            sal_all.append(s[o])
-        if int(n_left) == 0:
-            break
-
-    if rows_all:
-        order_dense = np.concatenate(rows_all).astype(np.int64)
-        sals = np.concatenate(sal_all).astype(np.float64)
-    else:
-        order_dense = np.zeros((0, 3), np.int64)
-        sals = np.zeros(0)
+    order_dense = np.asarray(order_buf)[:n_m].astype(np.int64)
+    sals = np.asarray(sal_buf)[:n_m].astype(np.float64)
 
     # dense ids -> label keys (same scheme as merge_device.order_to_keys)
     R = static.R
@@ -652,3 +712,6 @@ def merge_order_bc_device(rag: Rag, cfg: FeatureConfig, predict_fn,
     out[:, 2] = max_key + 1 + order_dense[:, 2] - R
     out[:, :2] = np.sort(out[:, :2], axis=1)
     return out, sals
+
+
+_LOOP_CACHE = {}

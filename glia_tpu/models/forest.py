@@ -114,41 +114,47 @@ def make_predict_votes_jax(model: ForestModel):
     """Build a jitted TPU evaluator: X [B, D] -> vote fractions [B, C].
 
     Lock-step gather walk: node state [B, T], max_depth iterations of pure
-    gathers/selects (no data-dependent control flow -> one XLA fusion)."""
+    gathers/selects (no data-dependent control flow -> one XLA fusion).
+
+    Layout: all per-node tables are FLATTENED to [T*N] and indexed with
+    ``t*N + node`` so each level is one plain 1-D gather per table -- the
+    axis-2 ``take_along_axis`` formulation broadcast [1,T,N] against
+    [B,T,1] indices and lowered to a catastrophically slow gather on TPU
+    (~1.5 s/level-set at B=10k; this form runs the whole walk in ms)."""
     import jax
     import jax.numpy as jnp
 
-    feature = jnp.asarray(model.feature)
-    threshold = jnp.asarray(model.threshold)
-    left = jnp.asarray(model.left)
-    right = jnp.asarray(model.right)
-    leaf_class = jnp.asarray(model.leaf_class)
     T = model.n_trees
+    N = model.feature.shape[1]
     C = model.n_classes
     depth = model.max_depth
+    feature = jnp.asarray(model.feature.reshape(-1))          # int32 [T*N]
+    threshold = jnp.asarray(model.threshold.reshape(-1))      # f32 [T*N]
+    left = jnp.asarray(model.left.reshape(-1).astype(np.int32))
+    right = jnp.asarray(model.right.reshape(-1).astype(np.int32))
+    leaf_class = jnp.asarray(model.leaf_class.reshape(-1))
+    tree_base = jnp.arange(T, dtype=jnp.int32) * N            # [T]
 
     @jax.jit
     def predict(X):
         X = X.astype(jnp.float32)
-        B = X.shape[0]
+        B, D = X.shape
+        Xf = X.reshape(-1)
         node = jnp.zeros((B, T), dtype=jnp.int32)
+        row_base = (jnp.arange(B, dtype=jnp.int32) * D)[:, None]  # [B, 1]
 
         def body(_, node):
-            f = jnp.take_along_axis(feature[None], node[..., None],
-                                    axis=2)[..., 0]          # [B, T]
-            thr = jnp.take_along_axis(threshold[None], node[..., None],
-                                      axis=2)[..., 0]
-            l = jnp.take_along_axis(left[None], node[..., None],
-                                    axis=2)[..., 0]
-            r = jnp.take_along_axis(right[None], node[..., None],
-                                    axis=2)[..., 0]
-            fv = jnp.take_along_axis(X, jnp.maximum(f, 0), axis=1)  # [B, T]
+            flat = tree_base[None, :] + node                  # [B, T]
+            f = jnp.take(feature, flat)
+            thr = jnp.take(threshold, flat)
+            l = jnp.take(left, flat)
+            r = jnp.take(right, flat)
+            fv = jnp.take(Xf, row_base + jnp.maximum(f, 0))   # [B, T]
             nxt = jnp.where(fv <= thr, l, r)
             return jnp.where(f < 0, node, nxt)
 
         node = jax.lax.fori_loop(0, depth + 1, body, node)
-        cls = jnp.take_along_axis(leaf_class[None], node[..., None],
-                                  axis=2)[..., 0]            # [B, T]
+        cls = jnp.take(leaf_class, tree_base[None, :] + node)  # [B, T]
         votes = jax.nn.one_hot(cls, C, dtype=jnp.float32).sum(axis=1)
         return votes / T
 

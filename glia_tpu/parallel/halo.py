@@ -27,60 +27,66 @@ from .partition import Partition
 
 
 class HaloPlan:
-    """Host-side routing tables for one Partition."""
+    """Host-side routing tables for one Partition.
+
+    Fully vectorized construction (sort/unique over (shard, region) codes)
+    -- O((E + R) log) host work, no per-edge python loops, so planning
+    scales to pod-sized RAGs.
+    """
 
     def __init__(self, part: Partition, rag):
         n = part.n_shards
         R = rag.n_regions
-        owner = part.region_shard
-        key_index = {int(k): i for i, k in enumerate(rag.keys)}
-        ui = np.array([key_index[int(a)] for a in rag.edges[:, 0]])
-        vi = np.array([key_index[int(b)] for b in rag.edges[:, 1]])
+        owner = part.region_shard.astype(np.int64)
+        ui = rag.key_index(rag.edges[:, 0]).astype(np.int64)
+        vi = rag.key_index(rag.edges[:, 1]).astype(np.int64)
+        es = part.edge_shard.astype(np.int64)
 
-        # regions each shard touches with its edges, grouped by owner
-        touch = [set() for _ in range(n)]
-        for e in range(rag.n_edges):
-            s = part.edge_shard[e]
-            touch[s].add(int(ui[e]))
-            touch[s].add(int(vi[e]))
-        send = [[sorted(r for r in touch[s] if owner[r] == t and t != s)
-                 for t in range(n)] for s in range(n)]
-        H = max((len(lst) for row in send for lst in row), default=0)
+        # unique (shard, region) touch pairs over both endpoints
+        codes = np.unique(np.concatenate([es * R + ui, es * R + vi]))
+        ts = codes // R           # touching shard
+        tr = codes % R            # touched region
+        to = owner[tr]            # region owner
+        foreign = to != ts
+        fs, fr, ft = ts[foreign], tr[foreign], to[foreign]
+        # group by (source shard, owner shard); sorted region within group
+        grp = fs * n + ft
+        order = np.argsort(grp * np.int64(R) + fr, kind="stable")
+        fs, fr, ft, grp = fs[order], fr[order], ft[order], grp[order]
+        # slot index within each (s, t) group
+        if len(grp):
+            first = np.concatenate([[True], grp[1:] != grp[:-1]])
+            gidx = np.cumsum(first) - 1
+            starts = np.nonzero(first)[0]
+            slot = np.arange(len(grp)) - starts[gidx]
+            H = int(slot.max()) + 1
+        else:
+            slot = np.zeros(0, np.int64)
+            H = 1
         H = max(H, 1)
         self.H = H
         self.n = n
         # send_ids[s, t, :]: global region ids shard s sends to owner t
         self.send_ids = np.full((n, n, H), -1, dtype=np.int32)
-        for s in range(n):
-            for t in range(n):
-                ids = send[s][t]
-                self.send_ids[s, t, : len(ids)] = ids
-        # recv rows at owner t from source s are send_ids[s, t]; owner must
-        # scatter-add them into its own block at local positions
-        own_lists = [np.nonzero(owner == s)[0] for s in range(n)]
-        self.R_own_max = max(max((len(o) for o in own_lists), default=1), 1)
+        self.send_ids[fs, ft, slot] = fr
+        # owners' local numbering
+        own_counts = np.bincount(owner, minlength=n)
+        self.R_own_max = max(int(own_counts.max()) if R else 1, 1)
+        oorder = np.argsort(owner, kind="stable")
+        ostart = np.zeros(n + 1, np.int64)
+        np.cumsum(own_counts, out=ostart[1:])
         self.own_ids = np.full((n, self.R_own_max), -1, dtype=np.int32)
         self.local_of_global = np.full(R, -1, dtype=np.int32)
-        for s in range(n):
-            self.own_ids[s, : len(own_lists[s])] = own_lists[s]
-            self.local_of_global[own_lists[s]] = np.arange(len(own_lists[s]))
-        # recv_local[t, s, :]: local row in t's block for each recv slot
+        rows = owner[oorder]
+        cols = np.arange(R) - ostart[rows]
+        self.own_ids[rows, cols] = oorder
+        self.local_of_global[oorder] = cols.astype(np.int32)
+        # recv_local[t, s, :]: local row in owner t's block per recv slot;
+        # phase 2 fetch uses the same id sets reversed
         self.recv_local = np.full((n, n, H), -1, dtype=np.int32)
-        for t in range(n):
-            for s in range(n):
-                ids = self.send_ids[s, t]
-                ok = ids >= 0
-                self.recv_local[t, s, ok] = self.local_of_global[ids[ok]]
-        # phase 2: shard s needs halo rows (foreign regions it touches);
-        # owner t sends them -- same id sets reversed
+        self.recv_local[ft, fs, slot] = self.local_of_global[fr]
         self.halo_ids = self.send_ids          # [s, t, H]: s wants these
-        # fetch_local[t, s, :]: local rows in owner t's block to send to s
-        self.fetch_local = np.full((n, n, H), -1, dtype=np.int32)
-        for t in range(n):
-            for s in range(n):
-                ids = self.send_ids[s, t]
-                ok = ids >= 0
-                self.fetch_local[t, s, ok] = self.local_of_global[ids[ok]]
+        self.fetch_local = self.recv_local
 
     @property
     def comm_rows(self) -> int:
@@ -148,28 +154,28 @@ def local_endpoint_indices(plan: HaloPlan, part: Partition, rag,
                            groups, E_max):
     """Per-shard local row index (into [own_block; halo_rows]) for each
     edge endpoint.  Rows 0..R_own_max-1 are the shard's own regions;
-    rows R_own_max + t*H + j are halo slot j from owner t."""
+    rows R_own_max + t*H + j are halo slot j from owner t.
+
+    Vectorized via a dense [n, R] slot lookup -- fine up to millions of
+    regions x tens of shards; a per-shard sorted searchsorted lookup
+    replaces it beyond that.
+    """
     n, H, R_own = plan.n, plan.H, plan.R_own_max
-    key_index = {int(k): i for i, k in enumerate(rag.keys)}
-    ui = np.array([key_index[int(a)] for a in rag.edges[:, 0]], np.int64)
-    vi = np.array([key_index[int(b)] for b in rag.edges[:, 1]], np.int64)
+    R = rag.n_regions
+    ui = rag.key_index(rag.edges[:, 0]).astype(np.int64)
+    vi = rag.key_index(rag.edges[:, 1]).astype(np.int64)
     owner = part.region_shard
-    # halo slot lookup per (shard, region)
-    halo_slot = [dict() for _ in range(n)]
-    for s in range(n):
-        for t in range(n):
-            for j, r in enumerate(plan.send_ids[s, t]):
-                if r >= 0:
-                    halo_slot[s][int(r)] = t * H + j
+    slot_lut = np.full((n, R), -1, np.int64)
+    s_i, t_i, j_i = np.nonzero(plan.send_ids >= 0)
+    slot_lut[s_i, plan.send_ids[s_i, t_i, j_i]] = t_i * H + j_i
     u_loc = np.zeros((n, E_max), np.int32)
     v_loc = np.zeros((n, E_max), np.int32)
     for s, g in enumerate(groups):
-        for k, e in enumerate(g):
-            for arr, r in ((u_loc, int(ui[e])), (v_loc, int(vi[e]))):
-                if owner[r] == s:
-                    arr[s, k] = plan.local_of_global[r]
-                else:
-                    arr[s, k] = R_own + halo_slot[s][r]
+        for arr, ridx in ((u_loc, ui[g]), (v_loc, vi[g])):
+            own = owner[ridx] == s
+            arr[s, : len(g)] = np.where(
+                own, plan.local_of_global[ridx],
+                R_own + slot_lut[s, ridx])
     return u_loc, v_loc
 
 
