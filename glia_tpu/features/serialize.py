@@ -25,12 +25,27 @@ import numpy as np
 from ..constants import FEPS, sdivide, slog
 
 
+def _median_from_chunks(st):
+    """stats::amedian upper median (stats.hxx:83-91) over a record's pixel
+    value multiset (element 6: list of value-array chunks)."""
+    chunks = st[6] if len(st) > 6 else None
+    if not chunks:
+        return 0.0
+    v = np.concatenate([np.asarray(c, dtype=np.float64).ravel()
+                        for c in chunks])
+    if v.size == 0:
+        return 0.0
+    k = v.size // 2
+    return float(np.partition(v, k)[k])
+
+
 def _img_feats(st, cfg, n_bins):
-    """[hist?] entropy, mean, std, min, max for one (cnt,sum,sumsq,min,max,
-    hist) record; zeros when empty (feat.hxx:703)."""
-    cnt, s, ss, mn, mx, hist = st
+    """[hist?] entropy, [median?] mean, std, min, max for one (cnt,sum,
+    sumsq,min,max,hist[,vals]) record; zeros when empty (feat.hxx:703).
+    Median slot per GLIA_HMT_MEDIAN_FEAT (feat.hxx:674-811, 846-855)."""
+    cnt, s, ss, mn, mx, hist = st[:6]
     if cnt <= 0:
-        base = [0.0, 0.0, 0.0, 0.0, 0.0]
+        base = [0.0] * (6 if cfg.median_as_feats else 5)
         if cfg.histogram_as_feats:
             return [0.0] * n_bins + base
         return base
@@ -43,7 +58,10 @@ def _img_feats(st, cfg, n_bins):
     out = []
     if cfg.histogram_as_feats:
         out += list(p)
-    out += [ent, mean, std, mn, mx]
+    out.append(ent)
+    if cfg.median_as_feats:
+        out.append(_median_from_chunks(st))
+    out += [mean, std, mn, mx]
     return out
 
 
@@ -131,12 +149,10 @@ def boundary_vector(rec0, rec1, rec2, pair, cfg, ndim):
         l1 = float(np.abs(h0 - h1).sum())
         x2 = float((np.square(h0 - h1) / (h0 + h1 + FEPS)).sum())
         off = img.hist_bins if cfg.histogram_as_feats else 0
-        out += [l1, x2,
-                abs(f0[off + 0] - f1[off + 0]),   # entropyDiff
-                abs(f0[off + 1] - f1[off + 1]),   # meanDiff
-                abs(f0[off + 2] - f1[off + 2]),   # stdDiff
-                abs(f0[off + 3] - f1[off + 3]),   # minDiff
-                abs(f0[off + 4] - f1[off + 4])]   # maxDiff
+        # entropyDiff, [medianDiff?] meanDiff, stdDiff, minDiff, maxDiff
+        # (feat.hxx:886-899 + 762-800)
+        out += [l1, x2] + [abs(f0[off + j] - f1[off + j])
+                           for j in range(len(f0) - off)]
     for i, img in enumerate(cfg.rl_images):
         c0 = max(rec0["area"], 1)
         c1 = max(rec1["area"], 1)

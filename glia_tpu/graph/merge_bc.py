@@ -39,12 +39,15 @@ NEG_INF = -np.inf
 
 
 def _empty_bstat(n_bins):
-    return [0.0, 0.0, 0.0, POS_INF, NEG_INF, np.zeros(n_bins)]
+    # element 6 = pixel-value chunk list (filled only under
+    # median_as_feats; medians are not composable so the multiset rides
+    # along as shared array references, feat.hxx:674-811)
+    return [0.0, 0.0, 0.0, POS_INF, NEG_INF, np.zeros(n_bins), []]
 
 
 def _union_bstat(a, b):
     return [a[0] + b[0], a[1] + b[1], a[2] + b[2], min(a[3], b[3]),
-            max(a[4], b[4]), a[5] + b[5]]
+            max(a[4], b[4]), a[5] + b[5], a[6] + b[6]]
 
 
 class _BStats:
@@ -138,7 +141,8 @@ class DynamicRagState:
                             float((v * v).sum()),
                             float(v.min()) if len(v) else POS_INF,
                             float(v.max()) if len(v) else NEG_INF,
-                            self._hist_counts(v, img)]
+                            self._hist_counts(v, img),
+                            [v] if cfg.median_as_feats and len(v) else []]
             ent = self.entries.setdefault(
                 (a, b), {"m": _BStats(cfg), "n": _BStats(cfg)})
             part = "m" if mutual[e] else "n"
@@ -161,9 +165,11 @@ class DynamicRagState:
 
     def _scalar_stats(self, v, img):
         if len(v) == 0:
-            return [0.0, 0.0, 0.0, 0.0, 0.0, np.zeros(img.hist_bins)]
+            return [0.0, 0.0, 0.0, 0.0, 0.0, np.zeros(img.hist_bins), []]
+        chunks = [v] if self.cfg.median_as_feats else []
         return [float(len(v)), float(v.sum()), float((v * v).sum()),
-                float(v.min()), float(v.max()), self._hist_counts(v, img)]
+                float(v.min()), float(v.max()), self._hist_counts(v, img),
+                chunks]
 
     def _boundary_totals(self, c) -> _BStats:
         """One-sided boundary stats of component c: outgoing entries (both
@@ -211,7 +217,7 @@ class DynamicRagState:
                    (a[3] if a[0] else b[3]),
                    max(a[4], b[4]) if a[0] and b[0] else
                    (a[4] if a[0] else b[4]),
-                   a[5] + b[5]]
+                   a[5] + b[5], a[6] + b[6]]
                   for a, b in zip(r0["r"], r1["r"])],
             "rl": [a + b for a, b in zip(r0["rl"], r1["rl"])],
         }

@@ -85,3 +85,23 @@ def test_batched_predict_matches_sequential(case):
                              predict_batch=lambda F: -F[:, col])
     np.testing.assert_array_equal(o1, o2)
     np.testing.assert_allclose(s1, s2, rtol=1e-12)
+
+
+def test_candidate_features_match_tree_features_median(case):
+    """median_as_feats (GLIA_HMT_MEDIAN_FEAT) through the dynamic engine:
+    candidate rows must still match the hierarchical extractor, whose
+    exact medians are themselves oracle-verified (tests/test_features)."""
+    data, seg, rag, _ = case
+    cfg = FeatureConfig.standard(data["pb"], data["intensity"], n_bins=8)
+    cfg.median_as_feats = True
+    order, _ = greedy_merge_order(rag, data["pb"], policy="median")
+    tf = TreeFeatures(rag, order, cfg, saliencies=None)
+    bc_rows = tf.bc_features()
+
+    state = DynamicRagState(rag, cfg)
+    for mi, (r0, r1, r2) in enumerate(order):
+        got = state.candidate_features(int(r0), int(r1))
+        np.testing.assert_allclose(
+            got, bc_rows[mi], rtol=1e-9, atol=1e-12,
+            err_msg=f"merge {mi} ({r0},{r1})->{r2}")
+        state.merge(int(r0), int(r1), int(r2))

@@ -48,3 +48,34 @@ def test_segment_sum_auto_cpu(rng):
                                       jnp.asarray(segs), 7))
     want = np.bincount(segs, weights=vals, minlength=7)
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_forest_pallas_matches_host(rng):
+    """Pallas lock-step forest walk == host classForest-semantics oracle
+    (vote fractions, descend left iff x <= split; rf.hxx:362-372)."""
+    from glia_tpu.models.forest import predict_votes_np, train_forest
+    from glia_tpu.ops.pallas.forest import make_forest_votes_pallas
+
+    X = rng.random((300, 7)).astype(np.float32)
+    y = ((X[:, 0] + 0.3 * X[:, 3] > 0.6) | (X[:, 5] > 0.9)).astype(np.int32)
+    model = train_forest(X, y, n_trees=11, seed=3)
+
+    want = predict_votes_np(model, X)
+    fn = make_forest_votes_pallas(model, block_b=128, interpret=True)
+    got = np.asarray(fn(jnp.asarray(X)))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_forest_pallas_blocked_batch(rng):
+    """Batch not a multiple of block_b; multi-block grid accumulation."""
+    from glia_tpu.models.forest import predict_votes_np, train_forest
+    from glia_tpu.ops.pallas.forest import make_forest_votes_pallas
+
+    X = rng.random((333, 5)).astype(np.float32)
+    y = (X.sum(axis=1) > 2.5).astype(np.int32)
+    model = train_forest(X, y, n_trees=5, seed=1)
+
+    want = predict_votes_np(model, X)
+    fn = make_forest_votes_pallas(model, block_b=128, interpret=True)
+    got = np.asarray(fn(jnp.asarray(X)))
+    np.testing.assert_allclose(got, want, atol=1e-6)
