@@ -464,6 +464,50 @@ def cmd_boundary_image_2d(a):
     write_image(a.output, (out * 255).astype(np.uint8))
 
 
+def cmd_label_image_stats(a):
+    from ..tools import label_image_stats
+
+    st = label_image_stats(_read_label(a.image),
+                           mask=_read_label(a.mask) if a.mask else None)
+    print("unique labels:", st["unique_labels"])
+    print("min size:", st["min_size"])
+    print("max size:", st["max_size"])
+    print("size hist:", " ".join(f"{x:g}" for x in st["size_hist"]))
+
+
+def cmd_distribute_label_images(a):
+    from ..io.image import read_label_image
+    from ..tools import distribute_label_images
+
+    images = [read_label_image(f) for f in a.input]
+    idx = distribute_label_images(images, a.nOutput, a.areaThreshold,
+                                  include_bg=a.includeBG, rng=a.seed)
+    for i, src in enumerate(idx):
+        _write_label(a.output.replace("%d", str(i)), images[src])
+
+
+def cmd_resample_rgb_image(a):
+    from ..io.image import read_image, write_image
+    from ..ops.image import resample_image
+
+    im = read_image(a.input)
+    if im.ndim != 3 or im.shape[-1] not in (3, 4):
+        raise SystemExit("expected an RGB(A) image")
+    chans = [resample_image(im[..., c].astype(np.float64), a.factor,
+                            order=1) for c in range(im.shape[-1])]
+    out = np.clip(np.stack(chans, axis=-1), 0, 255)
+    write_image(a.output, out.astype(im.dtype))
+
+
+def cmd_image_compression(a):
+    from ..io.image import read_image, write_image
+
+    im = read_image(a.input)
+    if a.write16:
+        im = im.astype(np.uint16)
+    write_image(a.output, im)
+
+
 def build_parser():
     p = argparse.ArgumentParser(prog="glia_tpu",
                                 description=__doc__,
@@ -762,6 +806,37 @@ def build_parser():
     q.add_argument("-i", "--input", required=True)
     q.add_argument("-o", "--output", required=True)
     q.set_defaults(fn=cmd_labelcc)
+
+    q = sub.add_parser("label_image_stats",
+                       help="region count/size summary")
+    q.add_argument("-i", "--image", required=True)
+    q.add_argument("-m", "--mask")
+    q.set_defaults(fn=cmd_label_image_stats)
+
+    q = sub.add_parser("distribute_label_images",
+                       help="pick/duplicate label images by region count")
+    q.add_argument("-i", "--input", nargs="+", required=True)
+    q.add_argument("-n", "--nOutput", type=int, required=True)
+    q.add_argument("-t", "--areaThreshold", type=int, required=True)
+    q.add_argument("-b", "--includeBG", action="store_true")
+    q.add_argument("--seed", type=int, default=0)
+    q.add_argument("-o", "--output", required=True,
+                   help="output pattern with %%d")
+    q.set_defaults(fn=cmd_distribute_label_images)
+
+    q = sub.add_parser("resample_rgb_image",
+                       help="linear resample per RGB channel")
+    q.add_argument("-i", "--input", required=True)
+    q.add_argument("-f", "--factor", type=float, required=True)
+    q.add_argument("-o", "--output", required=True)
+    q.set_defaults(fn=cmd_resample_rgb_image)
+
+    q = sub.add_parser("image_compression",
+                       help="rewrite image (optional 16-bit cast)")
+    q.add_argument("-i", "--input", required=True)
+    q.add_argument("--write16", action="store_true")
+    q.add_argument("-o", "--output", required=True)
+    q.set_defaults(fn=cmd_image_compression)
 
     return p
 

@@ -213,3 +213,42 @@ def overlay_image(image, labels, alpha=0.5, seed=0):
         base = base[..., None].repeat(3, axis=-1)
     base = base / max(base.max(), 1e-6)
     return (1 - alpha) * base + alpha * rgb
+
+
+def skeletonize_image(binary):
+    """2D binary thinning to a 1-pixel-wide, connectivity-preserving
+    skeleton (capability of image.hxx:646-655, which wraps ITK's
+    BinaryThinningImageFilter; unused by any reference pipeline stage).
+
+    Zhang-Suen thinning, fully vectorized: each sub-iteration evaluates
+    the neighbor-count / transition-count / directional-neighbor rules on
+    all pixels at once and peels one layer; repeats until stable.
+    """
+    img = (np.asarray(binary) != 0).astype(np.uint8)
+    if img.ndim != 2:
+        raise ValueError("skeletonize_image is 2D-only (like the reference)")
+
+    def neighbors(a):
+        p = np.pad(a, 1)
+        # p2..p9 clockwise from north (Zhang-Suen convention)
+        return [p[:-2, 1:-1], p[:-2, 2:], p[1:-1, 2:], p[2:, 2:],
+                p[2:, 1:-1], p[2:, :-2], p[1:-1, :-2], p[:-2, :-2]]
+
+    while True:
+        changed = False
+        for step in (0, 1):
+            nb = neighbors(img)
+            b = sum(n.astype(np.int32) for n in nb)
+            seq = nb + [nb[0]]
+            a = sum(((seq[i] == 0) & (seq[i + 1] == 1)) for i in range(8))
+            p2, p4, p6, p8 = nb[0], nb[2], nb[4], nb[6]
+            if step == 0:
+                cond = (p2 * p4 * p6 == 0) & (p4 * p6 * p8 == 0)
+            else:
+                cond = (p2 * p4 * p8 == 0) & (p2 * p6 * p8 == 0)
+            kill = (img == 1) & (a == 1) & (b >= 2) & (b <= 6) & cond
+            if kill.any():
+                img[kill] = 0
+                changed = True
+        if not changed:
+            return img

@@ -188,3 +188,91 @@ def remove_single_profile_regions(slices, image_ids, links):
                 seg[seg == k] = BG_VAL
         out.append(seg)
     return out
+
+
+def label_image_stats(labels, mask=None, n_bins=20):
+    """Region-size summary of a label image
+    (gadget/main_label_image_stats.cxx:6-37): BG-excluded unique label
+    count, min/max region size, and a normalized size histogram with
+    ``n_bins`` bins over (0, imageSize/10) using stats::hist semantics
+    (stats.hxx:94-142, incl. the bounds-without-range.first quirk).
+
+    Returns dict(unique_labels, min_size, max_size, size_hist).
+    """
+    from ._histutil import hist_counts
+
+    labels = np.asarray(labels)
+    image_size = int(np.prod(labels.shape))
+    sizes = seg_stats(labels, mask=mask, include_bg=False)
+    vals = np.asarray(list(sizes.values()), dtype=np.float64)
+    if len(vals) == 0:
+        return {"unique_labels": 0, "min_size": 0, "max_size": 0,
+                "size_hist": np.zeros(n_bins)}
+    hc = hist_counts(vals, n_bins, (0.0, image_size / 10.0))
+    return {
+        "unique_labels": int(len(vals)),
+        "min_size": int(vals.min()),
+        "max_size": int(vals.max()),
+        "size_hist": hc / len(vals),
+    }
+
+
+def distribute_label_images(label_images, n_output, area_threshold,
+                            include_bg=False, rng=None):
+    """Pick/duplicate label images for ensemble training sets
+    (gadget/main_distribute_label_images.cxx:100-170, live code path):
+
+    - sort images by #regions larger than ``area_threshold``; ties
+      re-compare at threshold/2, /4, ... (cascading comparator);
+    - n_input == n_output: keep all (sorted);
+    - n_input >  n_output: keep first/last, sample the middle;
+    - n_input <  n_output: keep all, duplicate the last (most regions).
+
+    Returns the list of selected input indices (length n_output).
+    """
+    rng = np.random.default_rng(rng)
+    n_input = len(label_images)
+    n_must_keep = 1
+    sizes = []
+    for i, img in enumerate(label_images):
+        cm = seg_stats(img, include_bg=include_bg)
+        sizes.append((i, np.asarray(list(cm.values()), dtype=np.int64)))
+
+    import functools
+
+    def cmp(lhs, rhs):
+        t = int(area_threshold)
+        while t > 0:
+            nl = int((lhs[1] > t).sum())
+            nr = int((rhs[1] > t).sum())
+            if nl < nr:
+                return -1
+            if nl > nr:
+                return 1
+            t //= 2
+        return -1  # reference comparator returns true on full tie
+
+    sizes.sort(key=functools.cmp_to_key(cmp))
+    if n_input == n_output:
+        return [sizes[i][0] for i in range(n_output)]
+    out = [-1] * n_output
+    if n_input > n_output:
+        for i in range(n_must_keep):
+            out[i] = sizes[i][0]
+            out[n_output - 1 - i] = sizes[n_input - 1 - i][0]
+        middle = list(range(n_must_keep, n_input - n_must_keep))
+        n_left = n_output - n_must_keep * 2
+        # bug-for-bug with the reference: it shuffles+samples middleIndices
+        # but then never uses them -- the write loop takes the first nLeft
+        # middle entries in sort order (main_distribute_label_images.cxx:
+        # 156-162).  The shuffle is kept only for RNG-stream fidelity.
+        rng.shuffle(middle)
+        middle = sorted(middle[:n_left])
+        for i in range(n_left):
+            out[i + n_must_keep] = sizes[i + n_must_keep][0]
+        return out
+    for i in range(n_input):
+        out[i] = sizes[i][0]
+    for i in range(n_input, n_output):
+        out[i] = sizes[-1][0]
+    return out

@@ -143,3 +143,53 @@ def test_cli_image_tools(tmp_path, capsys):
 
     assert read_image(f"{dd}/mp.png").shape == (8, 8)
     assert read_image(f"{dd}/crop.png").shape == (8, 8)
+
+
+def test_cli_image_compression_roundtrip(tmp_path):
+    """image_compression substitute: rewrite + 16-bit cast preserves
+    every pixel value (main_image_compression.cxx capability)."""
+    d = str(tmp_path)
+    rng = np.random.default_rng(0)
+    lab = rng.integers(0, 40000, (32, 32)).astype(np.uint16)
+    write_image(f"{d}/in.png", lab)
+    run_cli("image_compression", "-i", f"{d}/in.png", "--write16",
+            "-o", f"{d}/out.png")
+    from glia_tpu.io.image import read_image
+
+    out = read_image(f"{d}/out.png")
+    np.testing.assert_array_equal(out, lab)
+
+
+def test_cli_label_image_stats_and_distribute(tmp_path, capsys):
+    d = str(tmp_path)
+    rng = np.random.default_rng(1)
+    for i, n in enumerate((3, 8)):
+        lab = np.zeros((24, 24), np.uint16)
+        for k in range(n):
+            lab[(3 * k) % 20:(3 * k) % 20 + 3, :4] = k + 1
+        write_image(f"{d}/lab{i}.png", lab)
+    run_cli("label_image_stats", "-i", f"{d}/lab0.png")
+    out = capsys.readouterr().out
+    assert "unique labels:" in out and "size hist:" in out
+    run_cli("distribute_label_images", "-i", f"{d}/lab0.png",
+            f"{d}/lab1.png", "-n", "3", "-t", "4",
+            "-o", f"{d}/out%d.png")
+    from glia_tpu.io.image import read_image
+
+    outs = [read_image(f"{d}/out{i}.png") for i in range(3)]
+    # fewer inputs than outputs: last (most regions) duplicated
+    np.testing.assert_array_equal(outs[1], outs[2])
+
+
+def test_cli_resample_rgb(tmp_path):
+    d = str(tmp_path)
+    rgb = np.zeros((16, 16, 3), np.uint8)
+    rgb[..., 0] = np.arange(16, dtype=np.uint8)[None, :] * 10
+    write_image(f"{d}/in.png", rgb)
+    run_cli("resample_rgb_image", "-i", f"{d}/in.png", "-f", "2.0",
+            "-o", f"{d}/out.png")
+    from glia_tpu.io.image import read_image
+
+    out = read_image(f"{d}/out.png")
+    assert out.shape[:2] == (32, 32)
+    assert out.shape[2] in (3, 4)

@@ -77,3 +77,45 @@ def test_crop_resample_blur_overlay():
     assert blur_image(im, 1.0).shape == im.shape
     lab = (im > 0.5).astype(np.int32)
     assert overlay_image(im, lab).shape == (8, 8, 3)
+
+
+def test_skeletonize_rectangle_to_line():
+    from glia_tpu.ops.image import skeletonize_image
+
+    img = np.zeros((20, 40), np.uint8)
+    img[8:13, 5:35] = 1  # 5-wide horizontal bar
+    sk = skeletonize_image(img)
+    # skeleton is a subset of the foreground and ~1px wide
+    assert set(zip(*np.nonzero(sk))) <= set(zip(*np.nonzero(img)))
+    assert (sk.sum(axis=0)[8:32] <= 1).all()
+    assert sk.sum() >= 20  # a line survives
+
+
+def test_skeletonize_preserves_connectivity():
+    import scipy.ndimage as ndi
+
+    from glia_tpu.ops.image import skeletonize_image
+
+    rng = np.random.default_rng(5)
+    img = np.zeros((48, 48), np.uint8)
+    # one connected blob: union of overlapping rectangles
+    r, c = 10, 10
+    for _ in range(6):
+        dr, dc = rng.integers(-6, 7, 2)
+        r = int(np.clip(r + dr, 4, 36))
+        c = int(np.clip(c + dc, 4, 36))
+        img[r:r + 8, c:c + 8] = 1
+    n_before = ndi.label(img, structure=np.ones((3, 3)))[1]
+    sk = skeletonize_image(img)
+    n_after = ndi.label(sk, structure=np.ones((3, 3)))[1]
+    assert n_before == n_after == 1
+    assert sk.sum() < img.sum()
+
+
+def test_skeletonize_idempotent_on_thin_line():
+    from glia_tpu.ops.image import skeletonize_image
+
+    img = np.zeros((10, 30), np.uint8)
+    img[5, 2:28] = 1
+    sk = skeletonize_image(img)
+    np.testing.assert_array_equal(sk, img)

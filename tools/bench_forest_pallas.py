@@ -80,9 +80,15 @@ def main():
 
 
 if __name__ == "__main__":
+    rc = 0
     try:
         main()
+    except BaseException:
+        import traceback
+
+        traceback.print_exc()
+        rc = 1
     finally:
         sys.stdout.flush()
         sys.stderr.flush()
-        os._exit(0)
+        os._exit(rc)
