@@ -145,46 +145,27 @@ def hist_median_stat(h, lo=0.0, hi=1.0):
     return lo + (idx + 0.5) * width
 
 
-def _superstep_merge_core(u, v, payload, stat_fn, n_regions,
-                          max_supersteps, dtype):
-    """Shared batched-superstep merge loop (speed mode).
-
-    Each superstep merges all edges that are the (index-tiebroken) minimum
-    of BOTH endpoints' incident edges -- a conflict-free independent set --
-    then relabels endpoints and combines duplicate pairs.  ``payload`` is a
-    tuple of per-edge arrays ([E] or [E, W]) that combine ADDITIVELY under
-    edge splicing (boundary_table.hxx:122-167's pixel-list splice becomes a
-    segment-sum of mergeable sketches); ``stat_fn(payload) -> stat [E]``
-    maps the sketch to the (non-negative) merge statistic.
-
-    Compile-cost design for the TPU remote-compile tunnel: the dedupe sorts
-    ONLY (lo, hi, iota) -- three int32 operands -- and moves every payload
-    by gathers, instead of a wide variadic ``lax.sort`` whose comparator
-    code blows up compile time with many operands (round-1 lesson,
-    RESULTS.md).
-
-    Returns (order [max_m, 3] int32, saliencies=-stat, n_merges).
-    """
+def _build_chunk_fn(stat_fn, E, R, chunk, select_rounds, dtype,
+                    payload_struct):
+    """Compile (and cache) a ``chunk``-superstep merge program for edge
+    capacity E.  State threads through so the host driver can compact the
+    alive edges into a smaller capacity between chunks."""
     import jax
     import jax.numpy as jnp
 
-    E = len(u)
-    R = int(n_regions)
+    key = (stat_fn, E, R, chunk, select_rounds, str(dtype), payload_struct)
+    fn = _JIT_CACHE.get(key)
+    if fn is not None:
+        return fn
+
     max_m = max(R - 1, 1)
     n_ids = R + max_m
-
-    u0 = jnp.asarray(u, jnp.int32)
-    v0 = jnp.asarray(v, jnp.int32)
-    payload0 = tuple(jnp.asarray(p, dtype) for p in payload)
-    alive0 = jnp.ones(E, bool)
-    order0 = jnp.full((max_m, 3), -1, jnp.int32)
-    sal0 = jnp.zeros(max_m, dtype)
     idx = jnp.arange(E, dtype=jnp.int32)
     BIG = jnp.asarray(jnp.inf, dtype)
 
     def cond(state):
         step, n_m, u, v, payload, alive, order, sal = state
-        return (step < max_supersteps) & alive.any() & (n_m < max_m)
+        return (step < chunk) & alive.any() & (n_m < max_m)
 
     def body(state):
         step, n_m, u, v, payload, alive, order, sal = state
@@ -197,14 +178,29 @@ def _superstep_merge_core(u, v, payload, stat_fn, n_regions,
             stat.astype(jnp.float32), jnp.int32)
         big32 = jnp.int32(2 ** 31 - 1)
         bits = jnp.where(alive, bits, big32)
-        rbits = jnp.full(n_ids, big32, jnp.int32)
-        rbits = rbits.at[u].min(bits)
-        rbits = rbits.at[v].min(bits)
-        cand = alive & (rbits[u] == bits) & (rbits[v] == bits)
-        ridx = jnp.full(n_ids, E, jnp.int32)
-        ridx = ridx.at[u].min(jnp.where(cand, idx, E))
-        ridx = ridx.at[v].min(jnp.where(cand, idx, E))
-        is_merge = cand & (ridx[u] == idx) & (ridx[v] == idx)
+        # Optional multi-round maximal matching (select_rounds > 1) merges
+        # more edges per superstep but lets non-locally-minimal edges jump
+        # the queue, which degrades monotonized threshold-cut parity --
+        # keep 1 for parity-grade hierarchies.
+        is_merge = jnp.zeros(E, bool)
+        free = jnp.ones(n_ids, bool)
+        for _ in range(select_rounds):
+            eligible = alive & ~is_merge & free[u] & free[v]
+            b = jnp.where(eligible, bits, big32)
+            rbits = jnp.full(n_ids, big32, jnp.int32)
+            rbits = rbits.at[u].min(b)
+            rbits = rbits.at[v].min(b)
+            cand = eligible & (rbits[u] == b) & (rbits[v] == b)
+            ridx = jnp.full(n_ids, E, jnp.int32)
+            ridx = ridx.at[u].min(jnp.where(cand, idx, E))
+            ridx = ridx.at[v].min(jnp.where(cand, idx, E))
+            new = cand & (ridx[u] == idx) & (ridx[v] == idx)
+            is_merge = is_merge | new
+            if select_rounds > 1:
+                occ = jnp.zeros(n_ids, jnp.int32)
+                occ = occ.at[u].max(new.astype(jnp.int32))
+                occ = occ.at[v].max(new.astype(jnp.int32))
+                free = free & (occ == 0)
         # assign fresh ids in edge order
         rank = jnp.cumsum(is_merge.astype(jnp.int32)) - 1
         ok = is_merge & (n_m + rank < max_m)
@@ -254,25 +250,92 @@ def _superstep_merge_core(u, v, payload, stat_fn, n_regions,
         n_m = jnp.minimum(n_m + n_new, max_m)
         return step + 1, n_m, u, v, payload, alive, order, sal
 
-    def run(u0, v0, payload0):
+    def run(u0, v0, payload0, alive_in, n_m0, order_in, sal_in):
         return jax.lax.while_loop(
             cond, body,
-            (jnp.int32(0), jnp.int32(0), u0, v0, payload0, alive0, order0,
-             sal0))
+            (jnp.int32(0), n_m0, u0, v0, payload0, alive_in, order_in,
+             sal_in))
 
-    # cache the compiled program across calls (a fresh closure per call
-    # would re-trace every time; the key pins every shape-determining
-    # input)
-    key = (stat_fn, E, R, max_supersteps, str(dtype),
-           tuple((p.shape, str(p.dtype)) for p in payload0))
-    fn = _JIT_CACHE.get(key)
-    if fn is None:
-        fn = jax.jit(run)
-        _JIT_CACHE[key] = fn
+    fn = jax.jit(run)
+    _JIT_CACHE[key] = fn
+    return fn
 
-    st = fn(u0, v0, payload0)
-    step, n_m, *_, order, sal = st
-    return order, sal, int(n_m)
+
+def _superstep_merge_core(u, v, payload, stat_fn, n_regions,
+                          max_supersteps, dtype, select_rounds=1,
+                          chunk=6, stats=None):
+    """Shared batched-superstep merge loop (speed mode).
+
+    Each superstep merges all edges that are the (index-tiebroken) minimum
+    of BOTH endpoints' incident edges -- a conflict-free independent set --
+    then relabels endpoints and combines duplicate pairs.  ``payload`` is a
+    tuple of per-edge arrays ([E] or [E, W]) that combine ADDITIVELY under
+    edge splicing (boundary_table.hxx:122-167's pixel-list splice becomes a
+    segment-sum of mergeable sketches); ``stat_fn(payload) -> stat [E]``
+    maps the sketch to the (non-negative) merge statistic.
+
+    Two cost controls for the TPU remote-compile tunnel:
+      - the dedupe sorts ONLY (lo, hi, iota) -- three int32 operands --
+        and moves payloads by gathers (wide variadic sorts blow up compile
+        time; round-1 lesson, RESULTS.md);
+      - supersteps run in ``chunk``-sized compiled pieces, and between
+        chunks the host COMPACTS the surviving edges into the next
+        power-of-two capacity: alive counts shrink geometrically with
+        merges, so tail supersteps run on tiny arrays instead of paying
+        full-E sorts ~R/4 times.  Each capacity compiles once per process.
+
+    Returns (order [max_m, 3] int32, saliencies=-stat, n_merges).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    E = len(u)
+    R = int(n_regions)
+    max_m = max(R - 1, 1)
+
+    payload0 = tuple(jnp.asarray(p, dtype) for p in payload)
+    struct = tuple((len(p.shape), str(p.dtype)) for p in payload0)
+    u_d = jnp.asarray(u, jnp.int32)
+    v_d = jnp.asarray(v, jnp.int32)
+    alive_d = jnp.ones(E, bool)
+    order_d = jnp.full((max_m, 3), -1, jnp.int32)
+    sal_d = jnp.zeros(max_m, dtype)
+    payload_d = payload0
+    n_m = jnp.int32(0)
+    total_steps = 0
+    cap = E
+    buckets = [E]
+
+    while total_steps < max_supersteps:
+        fn = _build_chunk_fn(stat_fn, cap, R,
+                             min(chunk, max_supersteps - total_steps),
+                             select_rounds, dtype, struct)
+        st = fn(u_d, v_d, payload_d, alive_d, n_m, order_d, sal_d)
+        step_done, n_m, u_d, v_d, payload_d, alive_d, order_d, sal_d = st
+        total_steps += int(step_done)
+        if int(n_m) >= max_m:
+            break
+        alive_h = np.asarray(alive_d)
+        n_alive = int(alive_h.sum())
+        if n_alive == 0:
+            break
+        # compact: stable-partition alive edges to the front, shrink to
+        # the next power-of-two capacity (>= 256 to bound compile count)
+        new_cap = max(256, 1 << int(np.ceil(np.log2(max(n_alive, 1)))))
+        if new_cap < cap:
+            perm = np.argsort(~alive_h, kind="stable")[:new_cap]
+            u_d = jnp.asarray(np.asarray(u_d)[perm])
+            v_d = jnp.asarray(np.asarray(v_d)[perm])
+            payload_d = tuple(jnp.asarray(np.asarray(p)[perm])
+                              for p in payload_d)
+            alive_d = jnp.asarray(alive_h[perm])
+            cap = new_cap
+            buckets.append(cap)
+
+    if stats is not None:
+        stats["n_supersteps"] = total_steps
+        stats["buckets"] = buckets
+    return order_d, sal_d, int(n_m)
 
 
 _JIT_CACHE = {}
@@ -285,8 +348,8 @@ def _mean_stat(payload):
     return s / jnp.maximum(c, 1.0)
 
 
-def merge_batched_device(u, v, s, c, n_regions, max_supersteps=64,
-                         dtype=None):
+def merge_batched_device(u, v, s, c, n_regions, max_supersteps=256,
+                         dtype=None, select_rounds=1, stats=None):
     """Batched superstep merge, pooled-mean policy (speed mode).
 
     Per-edge data (s, c) = (sum, count) of boundary pb; statistic = s/c
@@ -299,14 +362,16 @@ def merge_batched_device(u, v, s, c, n_regions, max_supersteps=64,
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
     return _superstep_merge_core(u, v, (s, c), _mean_stat, n_regions,
-                                 max_supersteps, dtype)
+                                 max_supersteps, dtype,
+                                 select_rounds=select_rounds, stats=stats)
 
 
 _HIST_STATS = {}
 
 
-def merge_batched_device_hist(u, v, h, n_regions, max_supersteps=64,
-                              lo=0.0, hi=1.0, dtype=None):
+def merge_batched_device_hist(u, v, h, n_regions, max_supersteps=256,
+                              lo=0.0, hi=1.0, dtype=None, select_rounds=1,
+                              stats=None):
     """Batched superstep merge on histogram sketches (approx-median policy,
     SURVEY hard part #2).  h: [E, n_bins] per-edge boundary histograms,
     which splice additively; the statistic is the sketch's upper median.
@@ -325,7 +390,8 @@ def merge_batched_device_hist(u, v, h, n_regions, max_supersteps=64,
         _HIST_STATS[(lo, hi)] = stat_fn
 
     return _superstep_merge_core(u, v, (h,), stat_fn, n_regions,
-                                 max_supersteps, dtype)
+                                 max_supersteps, dtype,
+                                 select_rounds=select_rounds, stats=stats)
 
 
 def threshold_cut(order, stats, tau):

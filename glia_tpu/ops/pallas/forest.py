@@ -72,22 +72,29 @@ def make_forest_votes_pallas(model, block_b=256, interpret=False):
         node_iota = jax.lax.broadcasted_iota(jnp.int32, (Bb, n_pad), 1)
         feat_iota = jax.lax.broadcasted_iota(jnp.int32, (Bb, D_pad), 1)
 
+        # Row extraction is a one-hot masked VPU reduction, NOT an MXU
+        # matmul: the MXU truncates f32 operands to bf16 passes, which
+        # corrupts child indices (>256 is not bf16-exact) and perturbs
+        # split thresholds -- exact equality in "x <= split" matters for
+        # classForest parity.  The masked sum is exact in f32 and also
+        # ~25x less arithmetic than a 128-lane matmul.
+        def sel(oh, col):
+            return jnp.where(oh, tab[:, col][None, :], 0.0).sum(axis=1)
+
         for _ in range(depth + 1):
-            oh = (node_iota == node[:, None]).astype(jnp.float32)
-            rows = jnp.dot(oh, tab, preferred_element_type=jnp.float32)
-            f = rows[:, 0]
-            thr = rows[:, 1]
-            l = rows[:, 2]
-            r = rows[:, 3]
+            oh = node_iota == node[:, None]
+            f = sel(oh, 0)
+            thr = sel(oh, 1)
+            l = sel(oh, 2)
+            r = sel(oh, 3)
             fsel = jnp.maximum(f, 0.0).astype(jnp.int32)
             ohf = (feat_iota == fsel[:, None]).astype(jnp.float32)
             fv = (ohf * x).sum(axis=1)
             nxt = jnp.where(fv <= thr, l, r).astype(jnp.int32)
             node = jnp.where(f < 0, node, nxt)
 
-        oh = (node_iota == node[:, None]).astype(jnp.float32)
-        rows = jnp.dot(oh, tab, preferred_element_type=jnp.float32)
-        cls = rows[:, 4].astype(jnp.int32)
+        oh = node_iota == node[:, None]
+        cls = sel(oh, 4).astype(jnp.int32)
         cls_iota = jax.lax.broadcasted_iota(jnp.int32, (Bb, c_pad), 1)
         votes = (cls_iota == cls[:, None]).astype(jnp.float32)
 

@@ -119,6 +119,26 @@ def halo_feat_dims(n_images=2, n_bins=16):
     return edge_w, edge_w + 2 * (edge_w + 1)      # + 2 region contexts
 
 
+def edge_forward_full(w, u, v, px, px_mask, edge_valid, n_regions,
+                      n_bins=16, n1=64, n2=16):
+    """Single-chip full-width edge scoring (the flagship forward): per-edge
+    boundary stats at full feature width -> region-context segment
+    aggregation -> MLP2 merge probabilities.  The sharded halo step
+    (make_halo_train_step) computes exactly this with the dense table
+    replaced by the ragged-halo exchange."""
+    from ..models.mlp import mlp2_forward
+
+    feats_e, cnt = _edge_feats_from_pixels(px, px_mask, n_bins)
+    msgs = jnp.concatenate([jnp.ones_like(cnt)[:, None], feats_e], axis=1)
+    msgs = msgs * edge_valid[:, None]
+    table = jax.ops.segment_sum(msgs, u, num_segments=n_regions)
+    table += jax.ops.segment_sum(msgs, v, num_segments=n_regions)
+    feats = jnp.concatenate(
+        [feats_e, table[u], table[v]], axis=1).astype(jnp.float32)
+    D = feats.shape[1]
+    return mlp2_forward(w, feats, D, n1, n2)
+
+
 def shard_halo_train_inputs(mesh, plan, part, rag, images, labels,
                             k_pixels=32, n_bins=16):
     """Host prep for the halo train step: per-edge boundary pixel blocks

@@ -55,14 +55,18 @@ def main():
 
     u, v, s, c = edge_mean_arrays(rag, pb)
     t0 = time.time()
-    order_b, sal_b, n_m = merge_batched_device(u, v, s, c, rag.n_regions)
+    stats = {}
+    order_b, sal_b, n_m = merge_batched_device(u, v, s, c, rag.n_regions,
+                                               stats=stats)
     first_dt = time.time() - t0
+    log(f"supersteps={stats.get('n_supersteps')} buckets={stats.get('buckets')}")
     log(f"first call (compile+run): {first_dt:.1f}s, {n_m} merges")
 
     run_dt = float("inf")
     for _ in range(3):
         t0 = time.time()
-        order_b, sal_b, n_m = merge_batched_device(u, v, s, c, rag.n_regions)
+        order_b, sal_b, n_m = merge_batched_device(
+            u, v, s, c, rag.n_regions, stats=stats)
         run_dt = min(run_dt, time.time() - t0)
     dev_edges_s = (rag.n_edges + n_m) / run_dt
     log(f"steady-state run: {run_dt:.3f}s -> {dev_edges_s:,.0f} edges/s "
