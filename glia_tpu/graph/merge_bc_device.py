@@ -424,21 +424,26 @@ def _select_independent_max(probs, valid, eu, ev, C):
 
 
 def _make_step_fn(static: BcDeviceStatic, predict_fn: Callable,
-                  forced: bool = False):
+                  forced: bool = False, with_consts: bool = False):
     """The raw (untraced) superstep function shared by the one-step and
-    full-loop builders."""
+    full-loop builders.  ``with_consts``: predict_fn takes (feats,
+    consts) with consts threaded through as program arguments (classifier
+    node tables must not be closed-over constants -- they would inline as
+    dense MLIR literals; see models/forest.make_label_scorer)."""
     import jax
     import jax.numpy as jnp
 
     C, E, R = static.C, static.E, static.R
 
-    def step(state, force_mask=None):
+    def step(state, consts=None, force_mask=None):
         feats, valid = candidate_features(state, static)
         if forced:
             probs = jnp.zeros(E, feats.dtype)
             ok = force_mask & valid
         else:
-            probs = predict_fn(feats)
+            probs = (predict_fn(feats, consts) if with_consts
+                     else predict_fn(feats))
+            probs = probs.astype(feats.dtype)
             ok = _select_independent_max(probs, valid, state["eu"],
                                          state["ev"], C)
 
@@ -611,12 +616,12 @@ def make_superstep(static: BcDeviceStatic,
 
     step = _make_step_fn(static, predict_fn, forced)
     if forced:
-        return jax.jit(lambda state, mask: step(state, mask))
+        return jax.jit(lambda state, mask: step(state, force_mask=mask))
     return jax.jit(lambda state: step(state))
 
 
 def make_merge_loop(static: BcDeviceStatic, predict_fn: Callable,
-                    max_supersteps: int):
+                    max_supersteps: int, with_consts: bool = False):
     """The full classifier-in-the-loop merge as ONE device program: a
     ``lax.while_loop`` over supersteps carrying the order/saliency buffers,
     so no host round-trip happens between supersteps (the remote-execute
@@ -630,15 +635,15 @@ def make_merge_loop(static: BcDeviceStatic, predict_fn: Callable,
 
     C, E, R = static.C, static.E, static.R
     max_m = max(R - 1, 1)
-    step = _make_step_fn(static, predict_fn)
+    step = _make_step_fn(static, predict_fn, with_consts=with_consts)
 
     def cond(carry):
-        state, order, sal, n_scored, n_steps, n_left = carry
+        state, consts, order, sal, n_scored, n_steps, n_left = carry
         return (n_left > 0) & (n_steps < max_supersteps)
 
     def body(carry):
-        state, order, sal, n_scored, n_steps, n_left = carry
-        st, rows, probs, ok, n_left2, scored = step(state)
+        state, consts, order, sal, n_scored, n_steps, n_left = carry
+        st, rows, probs, ok, n_left2, scored = step(state, consts)
         slot = jnp.where(ok, rows[:, 2] - R, max_m)
         order_pad = jnp.concatenate(
             [order, jnp.full((1, 3), -1, jnp.int32)], axis=0)
@@ -647,16 +652,18 @@ def make_merge_loop(static: BcDeviceStatic, predict_fn: Callable,
         sal_pad = jnp.concatenate([sal, jnp.zeros(1, sal.dtype)])
         sal = sal_pad.at[slot].set(
             jnp.where(ok, probs.astype(sal.dtype), 0.0))[:max_m]
-        return (st, order, sal, n_scored + scored.astype(n_scored.dtype),
+        return (st, consts, order, sal,
+                n_scored + scored.astype(n_scored.dtype),
                 n_steps + 1, n_left2)
 
     @jax.jit
-    def run(state):
+    def run(state, consts=None):
         order0 = jnp.full((max_m, 3), -1, jnp.int32)
         sal0 = jnp.zeros(max_m)
         n_left0 = (state["e_alive"] & state["e_table"]).sum()
-        carry = (state, order0, sal0, jnp.int32(0), jnp.int32(0), n_left0)
-        state, order, sal, n_scored, n_steps, _ = jax.lax.while_loop(
+        carry = (state, consts, order0, sal0, jnp.int32(0), jnp.int32(0),
+                 n_left0)
+        state, _, order, sal, n_scored, n_steps, _ = jax.lax.while_loop(
             cond, body, carry)
         n_m = state["next_id"] - R
         return order, sal, n_m, n_scored, n_steps
@@ -666,10 +673,15 @@ def make_merge_loop(static: BcDeviceStatic, predict_fn: Callable,
 
 def merge_order_bc_device(rag: Rag, cfg: FeatureConfig, predict_fn,
                           max_supersteps: Optional[int] = None,
-                          stats: Optional[dict] = None):
+                          stats: Optional[dict] = None,
+                          predict_consts=None):
     """Batched classifier-in-the-loop merge on device.
 
-    predict_fn: jittable feats [E, D] -> merge probabilities [E].
+    predict_fn: jittable feats [E, D] -> merge probabilities [E]; or,
+    when ``predict_consts`` is given, (feats, consts) -> probabilities
+    with the classifier's node tables threaded through as program
+    arguments (use models/forest.make_label_scorer(embed=True) -- a
+    closed-over table would inline as a huge MLIR literal).
     Returns (order [n, 3] int64 label keys, probabilities [n]).  Like the
     host greedy_merge_bc but merging the per-superstep independent set of
     probability maxima instead of one pop per iteration.
@@ -677,6 +689,7 @@ def merge_order_bc_device(rag: Rag, cfg: FeatureConfig, predict_fn,
     When a ``stats`` dict is passed it is filled with superstep counters
     (n_supersteps, candidates scored).
     """
+    import jax
     import jax.numpy as jnp
 
     state_np, static = build_state(rag, cfg)
@@ -688,9 +701,11 @@ def merge_order_bc_device(rag: Rag, cfg: FeatureConfig, predict_fn,
     key = (static.C, static.E, static.R, predict_fn, max_supersteps)
     run = _LOOP_CACHE.get(key)
     if run is None:
-        run = make_merge_loop(static, predict_fn, max_supersteps)
+        run = make_merge_loop(static, predict_fn, max_supersteps,
+                              with_consts=predict_consts is not None)
         _LOOP_CACHE[key] = run
-    order_buf, sal_buf, n_m, n_scored, n_steps = run(state)
+    consts = jax.tree.map(jnp.asarray, predict_consts)
+    order_buf, sal_buf, n_m, n_scored, n_steps = run(state, consts)
     n_m = int(n_m)
     if stats is not None:
         stats["n_supersteps"] = int(n_steps)

@@ -341,6 +341,211 @@ def _superstep_merge_core(u, v, payload, stat_fn, n_regions,
 _JIT_CACHE = {}
 
 
+def _build_fused_fn(stat_fn, E, R, dmax, max_supersteps, dtype,
+                    payload_struct):
+    """ONE jitted device program for the whole batched merge: a
+    ``lax.while_loop`` over supersteps at full edge capacity.  No host
+    round-trips between supersteps (each costs ~0.8s through the remote
+    TPU tunnel) and no per-bucket recompiles (the chunk/compaction engine
+    paid 5 bucket compilations, ~200s).
+
+    Each superstep runs depth-limited Boruvka star/chain contraction
+    instead of the mutual-minimum matching: every region selects its
+    minimum incident edge (ties by lowest edge index); the selection
+    forest's components each contain exactly one mutual-minimum 2-cycle
+    (its root); every vertex within ``dmax`` parent-hops of its root
+    attaches this superstep, emitted as a chain of binary (r0, r1, r2)
+    triples in hop order (parents attach before children, so every
+    merge's boundary exists).  A matching merges <= R/2 edges and decays
+    into an O(R)-round tail on chain-structured RAGs; chain contraction
+    keeps the round count O(log R) while each attach still uses its own
+    edge's start-of-round statistic as saliency (exactly like the
+    matching engine, where non-mutual edges also keep their start-of-
+    round stats until the next round's recompute).
+
+    The serial reference semantics being approximated: one pop+update of
+    code/type/boundary_table.hxx:122-167 per merge; parity with it is
+    checked via monotonized threshold cuts (tests/test_merge_device.py).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    key = ("fused", stat_fn, E, R, dmax, max_supersteps, str(dtype),
+           payload_struct)
+    fn = _JIT_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    max_m = max(R - 1, 1)
+    n_ids = R + max_m
+    idx = jnp.arange(E, dtype=jnp.int32)
+    vid = jnp.arange(n_ids, dtype=jnp.int32)
+    BIG = jnp.asarray(jnp.inf, dtype)
+    big32 = jnp.int32(2 ** 31 - 1)
+    INF_H = jnp.int32(n_ids + 7)
+
+    def cond(state):
+        step, n_m, u, v, payload, alive, order, sal = state
+        return (step < max_supersteps) & alive.any() & (n_m < max_m)
+
+    def body(state):
+        step, n_m, u, v, payload, alive, order, sal = state
+        stat = jnp.where(alive, stat_fn(payload), BIG)
+        bits = jax.lax.bitcast_convert_type(
+            stat.astype(jnp.float32), jnp.int32)
+        bits = jnp.where(alive, bits, big32)
+
+        # --- per-vertex minimum incident edge m(v), ties by edge index ---
+        rbits = jnp.full(n_ids, big32, jnp.int32)
+        rbits = rbits.at[u].min(bits).at[v].min(bits)
+        at_min_u = alive & (rbits[u] == bits)
+        at_min_v = alive & (rbits[v] == bits)
+        ridx = jnp.full(n_ids, E, jnp.int32)
+        ridx = ridx.at[u].min(jnp.where(at_min_u, idx, E))
+        ridx = ridx.at[v].min(jnp.where(at_min_v, idx, E))
+        m = ridx                                   # [n_ids]; E = none
+        u_pad = jnp.concatenate([u, jnp.full(1, n_ids, jnp.int32)])
+        v_pad = jnp.concatenate([v, jnp.full(1, n_ids, jnp.int32)])
+        mu = u_pad[jnp.minimum(m, E)]
+        mv = v_pad[jnp.minimum(m, E)]
+        parent = jnp.where(m < E, jnp.where(mu == vid, mv, mu), vid)
+
+        # --- roots: canonical vertex of each mutual-minimum 2-cycle ---
+        is_root = (parent[parent] == vid) & (vid < parent)
+
+        # --- depth-limited hop counts + root propagation ---
+        h = jnp.where(is_root, 0, INF_H)
+        rt = jnp.where(is_root, vid, n_ids)
+        for _ in range(dmax):
+            hp = h[parent]
+            h = jnp.minimum(h, jnp.where(hp < INF_H, hp + 1, INF_H))
+            rt = jnp.where(rt < n_ids, rt, rt[parent])
+        attach = (h >= 1) & (h <= dmax) & (m < E)
+
+        # --- order vertices by (component, edge stat, hop, id) ---
+        # stat(m(child)) >= stat(m(parent)) always (m(v) is incident to
+        # parent(v), whose m is ITS minimum incident edge), so stat-major
+        # order still attaches parents before children (hop breaks stat
+        # ties) AND makes each chain monotone non-decreasing in stat --
+        # the monotonized threshold cut then judges every attach by
+        # exactly its own edge's statistic, like the serial order.
+        bits_pad = jnp.concatenate([bits, jnp.full(1, big32, jnp.int32)])
+        mbits = bits_pad[jnp.minimum(m, E)]
+        rt_key = jnp.where(attach | is_root, rt, n_ids)
+        b_key = jnp.where(attach, mbits, jnp.int32(-2 ** 31))  # roots first
+        h_key = jnp.where(attach | is_root, h, INF_H)
+        rt_s, _, h_s, vs = jax.lax.sort(
+            (rt_key, b_key, h_key, vid), num_keys=4)
+        is_merge = (rt_s < n_ids) & (h_s >= 1)     # attached rows
+        grank = jnp.cumsum(is_merge.astype(jnp.int32)) - 1
+        first = jnp.concatenate(
+            [jnp.ones(1, bool), rt_s[1:] != rt_s[:-1]])
+        first_in_run = is_merge & (
+            jnp.concatenate([jnp.ones(1, bool), ~is_merge[:-1]]) | first)
+        r2 = R + n_m + grank
+        r0 = jnp.where(first_in_run, rt_s, r2 - 1)
+        ok = is_merge & (n_m + grank < max_m)
+        n_new = ok.sum().astype(jnp.int32)
+
+        # saliency: the attached vertex's own selected edge's statistic
+        m_s = m[vs]
+        stat_pad = jnp.concatenate([stat, jnp.zeros(1, stat.dtype)])
+        sal_rows = -stat_pad[jnp.minimum(m_s, E)]
+
+        rows = jnp.stack(
+            [r0.astype(jnp.int32), vs, r2.astype(jnp.int32)], axis=1)
+        slot = jnp.where(ok, n_m + grank, max_m)
+        order_pad = jnp.concatenate(
+            [order, jnp.full((1, 3), -1, jnp.int32)], axis=0)
+        order = order_pad.at[slot].set(
+            jnp.where(ok[:, None], rows, -1))[:max_m]
+        sal_pad = jnp.concatenate([sal, jnp.zeros(1, sal.dtype)])
+        sal = sal_pad.at[slot].set(
+            jnp.where(ok, sal_rows.astype(sal.dtype), 0.0))[:max_m]
+
+        # --- component final id lut (last merge of each run) ---
+        run_id = jnp.cumsum(first.astype(jnp.int32)) - 1
+        last_rank = jnp.full(n_ids + 1, -1, jnp.int32)
+        last_rank = last_rank.at[run_id].max(jnp.where(ok, grank, -1))
+        fin = R + n_m + last_rank[run_id]          # [n_sort]
+        # only vertices whose own attach was RECORDED (ok is a prefix of
+        # the global merge ranks, hence of each run's hop-ordered chain)
+        # plus the run root are contracted; overflowed attaches stay put
+        contracted = ((rt_s < n_ids) & (last_rank[run_id] >= 0)
+                      & (ok | (h_s == 0)))
+        lut = vid.at[jnp.where(contracted, vs, n_ids - 1)].set(
+            jnp.where(contracted, fin.astype(jnp.int32),
+                      jnp.int32(n_ids - 1)))
+        # (id n_ids-1 is a safe dump slot: ids allocated so far are
+        # < R + n_m < n_ids - 1 while the loop still runs)
+
+        # consumed edges: each attached-and-recorded vertex's m edge
+        used = jnp.zeros(E + 1, bool)
+        used = used.at[jnp.where(ok, jnp.minimum(m_s, E), E)].set(
+            jnp.where(ok, True, used[E]))
+        u2 = lut[u]
+        v2 = lut[v]
+        alive2 = alive & ~used[:E] & (u2 != v2)
+
+        # --- dedupe duplicate pairs: 3-operand key sort + gathers ---
+        lo_k = jnp.where(alive2, jnp.minimum(u2, v2), jnp.int32(n_ids))
+        hi_k = jnp.where(alive2, jnp.maximum(u2, v2), idx)
+        lo_s, hi_s, perm = jax.lax.sort((lo_k, hi_k, idx), num_keys=2)
+        u3 = jnp.take(u2, perm)
+        v3 = jnp.take(v2, perm)
+        alive_s = jnp.take(alive2, perm)
+        pfirst = jnp.concatenate(
+            [jnp.ones(1, bool),
+             (lo_s[1:] != lo_s[:-1]) | (hi_s[1:] != hi_s[:-1])])
+        seg_id = jnp.cumsum(pfirst.astype(jnp.int32)) - 1
+        keep = pfirst & alive_s
+        combined = []
+        for p in payload:
+            ps = jnp.take(p, perm, axis=0)
+            pz = jnp.where(
+                alive_s[:, None] if ps.ndim == 2 else alive_s, ps, 0.0)
+            pseg = jax.ops.segment_sum(pz, seg_id, num_segments=E)
+            combined.append(jnp.where(
+                keep[:, None] if ps.ndim == 2 else keep, pseg[seg_id], ps))
+        payload = tuple(combined)
+        return (step + 1, n_m + n_new, u3, v3, payload, alive_s & keep,
+                order, sal)
+
+    def run(u0, v0, payload0):
+        alive0 = jnp.ones(E, bool)
+        order0 = jnp.full((max_m, 3), -1, jnp.int32)
+        sal0 = jnp.zeros(max_m, dtype)
+        st = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), jnp.int32(0), u0, v0, payload0, alive0,
+             order0, sal0))
+        step, n_m, _, _, _, _, order, sal = st
+        return order, sal, n_m, step
+
+    fn = jax.jit(run)
+    _JIT_CACHE[key] = fn
+    return fn
+
+
+def _fused_merge_core(u, v, payload, stat_fn, n_regions, max_supersteps,
+                      dtype, dmax=4, stats=None):
+    """Single-program batched merge (see _build_fused_fn)."""
+    import jax.numpy as jnp
+
+    E = len(u)
+    R = int(n_regions)
+    payload0 = tuple(jnp.asarray(p, dtype) for p in payload)
+    struct = tuple((len(p.shape), str(p.dtype)) for p in payload0)
+    fn = _build_fused_fn(stat_fn, E, R, dmax, max_supersteps, dtype,
+                         struct)
+    order, sal, n_m, steps = fn(jnp.asarray(u, jnp.int32),
+                                jnp.asarray(v, jnp.int32), payload0)
+    if stats is not None:
+        stats["n_supersteps"] = int(steps)
+        stats["buckets"] = [E]
+    return order, sal, int(n_m)
+
+
 def _mean_stat(payload):
     import jax.numpy as jnp
 
@@ -349,18 +554,26 @@ def _mean_stat(payload):
 
 
 def merge_batched_device(u, v, s, c, n_regions, max_supersteps=256,
-                         dtype=None, select_rounds=1, stats=None):
+                         dtype=None, select_rounds=1, stats=None,
+                         mode="fused", dmax=2):
     """Batched superstep merge, pooled-mean policy (speed mode).
 
     Per-edge data (s, c) = (sum, count) of boundary pb; statistic = s/c
     (util/struct_merge.hxx:38-85 semantics under splice-as-sum).
-    Returns (order, saliencies, n_merges)."""
+    ``mode="fused"`` (default) runs the whole merge as one device program
+    with depth-``dmax`` chain contraction per superstep (O(log R)
+    supersteps); ``mode="chunked"`` is the older host-compacted
+    mutual-matching engine.  Returns (order, saliencies, n_merges)."""
     import jax
     import jax.numpy as jnp
 
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
+    if mode == "fused":
+        return _fused_merge_core(u, v, (s, c), _mean_stat, n_regions,
+                                 max_supersteps, dtype, dmax=dmax,
+                                 stats=stats)
     return _superstep_merge_core(u, v, (s, c), _mean_stat, n_regions,
                                  max_supersteps, dtype,
                                  select_rounds=select_rounds, stats=stats)
@@ -371,7 +584,7 @@ _HIST_STATS = {}
 
 def merge_batched_device_hist(u, v, h, n_regions, max_supersteps=256,
                               lo=0.0, hi=1.0, dtype=None, select_rounds=1,
-                              stats=None):
+                              stats=None, mode="fused", dmax=2):
     """Batched superstep merge on histogram sketches (approx-median policy,
     SURVEY hard part #2).  h: [E, n_bins] per-edge boundary histograms,
     which splice additively; the statistic is the sketch's upper median.
@@ -389,6 +602,10 @@ def merge_batched_device_hist(u, v, h, n_regions, max_supersteps=256,
             return hist_median_stat(h, _lo, _hi)
         _HIST_STATS[(lo, hi)] = stat_fn
 
+    if mode == "fused":
+        return _fused_merge_core(u, v, (h,), stat_fn, n_regions,
+                                 max_supersteps, dtype, dmax=dmax,
+                                 stats=stats)
     return _superstep_merge_core(u, v, (h,), stat_fn, n_regions,
                                  max_supersteps, dtype,
                                  select_rounds=select_rounds, stats=stats)

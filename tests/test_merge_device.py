@@ -133,6 +133,45 @@ def test_hist_median_batched_quality():
     assert np.mean(deltas) < 0.3
 
 
+def test_fused_engine_chain_validity_and_quality(case):
+    """The fused single-program engine (depth-limited Boruvka chains)
+    must emit a valid binary merge hierarchy with O(log R) supersteps
+    and match the matching-engine's threshold-cut quality."""
+    import scipy.ndimage as ndi
+
+    from glia_tpu.graph.merge_device import threshold_cut
+
+    for seed in (201, 202):
+        data = synthetic_em_slice((96, 96), n_cells=20, seed=seed)
+        seg = watershed_native(ndi.gaussian_filter(data["pb"], 1.0), 0.01)
+        rag = build_rag(seg, contour_only=False)
+        u, v, s, c = edge_mean_arrays(rag, data["pb"])
+        stats = {}
+        ob, sb, nm = merge_batched_device(u, v, s, c, rag.n_regions,
+                                          stats=stats, mode="fused")
+        # O(log R) supersteps (the matching engine needed ~16-18 here)
+        assert stats["n_supersteps"] <= 8
+        order = np.asarray(ob)[:nm]
+        assert (order[:, 2] == rag.n_regions + np.arange(nm)).all()
+        used = np.concatenate([order[:, 0], order[:, 1]])
+        assert len(np.unique(used)) == len(used)
+        # chain references only already-created ids
+        assert (order[:, 0] < order[:, 2]).all()
+        assert (order[:, 1] < order[:, 2]).all()
+        sb_np = np.asarray(sb)[:nm]
+        # quality parity vs serial greedy via monotonized threshold cut
+        oh, sh = greedy_merge_order(rag, data["pb"], policy="mean")
+        k = rag.n_regions - 20
+        tau = -sh[k - 1]
+        segh = apply_merge_order(seg, oh, threshold_index=k)
+        okeys = order_to_keys(ob, nm, rag)
+        mask = threshold_cut(okeys, -sb_np, tau)
+        segb = apply_merge_order(seg, okeys[mask])
+        _, _, vih = eval_vi(segh, data["truth"])
+        _, _, vib = eval_vi(segb, data["truth"])
+        assert vib - vih < 0.05
+
+
 def test_hist_median_stat():
     import jax.numpy as jnp
 

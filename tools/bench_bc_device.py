@@ -35,7 +35,8 @@ def main():
     from glia_tpu.infer.greedy import resolve_tree_greedy
     from glia_tpu.infer.segment import final_segmentation
     from glia_tpu.metrics import eval_vi
-    from glia_tpu.models.forest import make_predict_votes_jax, train_forest
+    from glia_tpu.models.forest import (
+        make_label_scorer, make_predict_votes_jax, train_forest)
     from glia_tpu.native import greedy_merge_native, watershed_native
 
     # ---- train a forest on one slice (no-saliency features = the
@@ -55,8 +56,10 @@ def main():
     log(f"train: {len(X)} samples x {X.shape[1]} feats, {n_trees} trees, "
         f"depth {model.max_depth} ({time.time()-t0:.1f}s)")
 
-    pv = make_predict_votes_jax(model)
-    predict_dev = lambda f: pv(f)[:, li]
+    which = sys.argv[4] if len(sys.argv) > 4 else "pallas"
+    predict_dev, consts = make_label_scorer(model, label=-1, backend=which,
+                                            embed=True)
+    log(f"classifier backend: {which}")
 
     # ---- test RAG at target scale ----
     t0 = time.time()
@@ -81,12 +84,12 @@ def main():
     # ---- device BC pipeline: compile + steady state ----
     stats = {}
     t0 = time.time()
-    order, probs = merge_order_bc_device(rag, cfg, predict_dev, stats=stats)
+    order, probs = merge_order_bc_device(rag, cfg, predict_dev, stats=stats, predict_consts=consts)
     first_dt = time.time() - t0
     log(f"first run (compile+run): {first_dt:.1f}s, {len(order)} merges, "
         f"{stats['n_supersteps']} supersteps, {stats['n_scored']} scored")
     t0 = time.time()
-    order, probs = merge_order_bc_device(rag, cfg, predict_dev, stats=stats)
+    order, probs = merge_order_bc_device(rag, cfg, predict_dev, stats=stats, predict_consts=consts)
     run_dt = time.time() - t0
     scores_s = stats["n_scored"] / run_dt
     merges_s = len(order) / run_dt
