@@ -24,6 +24,18 @@ features assemble and score on device per superstep:
     region's serialized features) uses exclude-one scatter reductions
     (min1/count/min2 per component) since subtraction is unavailable.
 
+State layout: ALL per-component stats pack into three matrices
+(additive / min / max) and all per-edge directed-part stats into three
+[E, 4, *] tensors.  The packing matters: a while-loop carry of ~25
+separately-shaped arrays made XLA's TPU loop layout assignment take
+~9.5 minutes for a program whose body alone compiles in 25 s; with the
+packed carry the whole merge loop compiles in well under a minute, and
+the per-superstep scatters/segment-sums run once per pack instead of
+once per field.  Additive region fields merge by +, min/max fields by
+min/max with +-inf empty fills (exactly group_stats' conventions, so
+empty-stat serialization semantics are preserved: count<=0 rows
+serialize to zeros, feat.hxx:703).
+
 Everything per superstep is fixed-shape vector ops -> one XLA program.
 """
 
@@ -44,9 +56,60 @@ NEG_INF = -np.inf
 # part indices along the edge "parts" axis
 P_MU, P_NU, P_MV, P_NV = 0, 1, 2, 3
 
-# stat field names: additive vs min vs max under union
-_ADD_B = ("b_cnt", "b_sum", "b_sumsq", "b_hist")
-_STAT_FIELDS = ("b_cnt", "b_sum", "b_sumsq", "b_min", "b_max", "b_hist")
+
+class _Pack:
+    """Named slices of a flat trailing feature axis."""
+
+    def __init__(self):
+        self.slices = {}
+        self.width = 0
+
+    def add(self, name, shape=()):
+        k = int(np.prod(shape)) if shape else 1
+        self.slices[name] = (self.width, self.width + k, tuple(shape))
+        self.width += k
+        return self
+
+    def get(self, mat, name):
+        a, b, shape = self.slices[name]
+        col = mat[..., a:b]
+        return col.reshape(col.shape[:-1] + shape) if shape else col[..., 0]
+
+    def put_np(self, mat, name, val):
+        a, b, _ = self.slices[name]
+        mat[..., a:b] = np.asarray(val).reshape(mat.shape[:-1] + (b - a,))
+
+
+def _make_packs(spec: DeviceFeatureSpec):
+    """(component add/min/max packs, edge-part add pack).
+
+    The component add pack ends with a residual block laid out exactly
+    like the edge-part pack so residual += part-slice is one vector op;
+    same for the min/max packs' trailing residual-boundary block.
+    """
+    nR, nRL, nB, nT, D = (spec.n_r, spec.n_rl, spec.n_b, spec.n_thresh,
+                          spec.ndim)
+    rB = max(spec.r_bins, 1)
+    rlB = max(spec.rl_bins, 1)
+    bB = max(spec.b_bins, 1)
+    ea = _Pack()
+    ea.add("cnt").add("vp", (nT,)).add("b_cnt", (nB,)).add("b_sum", (nB,))
+    ea.add("b_sumsq", (nB,)).add("b_hist", (nB, bB))
+    ca = _Pack()
+    ca.add("area").add("border").add("r_cnt", (nR,)).add("r_sum", (nR,))
+    ca.add("r_sumsq", (nR,)).add("r_hist", (nR, rB))
+    ca.add("rl_hist", (nRL, rlB))
+    res_off = ca.width
+    for name, (a, b, shape) in ea.slices.items():
+        ca.add("res_" + name, shape if shape else ())
+    cm = _Pack()
+    cm.add("bbox_lo", (D,)).add("r_min", (nR,))
+    rmin_off = cm.width
+    cm.add("res_b_min", (nB,))
+    cx = _Pack()
+    cx.add("bbox_hi", (D,)).add("r_max", (nR,))
+    cx.add("res_b_max", (nB,))
+    return ca, cm, cx, ea, res_off, rmin_off
 
 
 @dataclass
@@ -58,6 +121,12 @@ class BcDeviceStatic:
     E: int            # edge capacity
     R: int            # initial leaf regions
     feat_dim: int
+    ca: _Pack = None
+    cm: _Pack = None
+    cx: _Pack = None
+    ea: _Pack = None
+    res_off: int = 0
+    rmin_off: int = 0
 
 
 def build_state(rag: Rag, cfg: FeatureConfig):
@@ -76,16 +145,27 @@ def build_state(rag: Rag, cfg: FeatureConfig):
     R = rag.n_regions
     C = R + max(R - 1, 1)
     nT, nR, nRL, nB = spec.n_thresh, spec.n_r, spec.n_rl, spec.n_b
+    ca, cm, cx, ea, res_off, rmin_off = _make_packs(spec)
 
     pb = np.asarray(cfg.pb_image, dtype=np.float64).ravel()
 
     # ---- leaf component records ----
     rid = np.repeat(np.arange(R), np.diff(rag.region_ptr))
     pix = rag.region_pixels
+    c_add = np.zeros((C, ca.width))
+    c_min = np.full((C, cm.width), POS_INF)
+    c_max = np.full((C, cx.width), NEG_INF)
+
     area = np.zeros(C)
     np.add.at(area, rid, 1.0)
+    ca.put_np(c_add, "area", area)
     border = np.zeros(C)
     border[:R] = np.diff(rag.border_ptr).astype(np.float64)
+    ca.put_np(c_add, "border", border)
+    # residual blocks start zeroed (additive) and stay +-inf (min/max)
+    a, b, _ = ca.slices["res_cnt"]
+    c_add[:, a:] = 0.0
+
     coords_all = np.unravel_index(pix, rag.shape)
     coords = np.stack([coords_all[ndim - 1 - d] for d in range(ndim)],
                       axis=1).astype(np.float64)
@@ -96,6 +176,8 @@ def build_state(rag: Rag, cfg: FeatureConfig):
         np.maximum.at(bbox_hi[:, d], rid, coords[:, d])
     bbox_lo[:R] = np.where(np.isfinite(bbox_lo[:R]), bbox_lo[:R], 0.0)
     bbox_hi[:R] = np.where(np.isfinite(bbox_hi[:R]), bbox_hi[:R], 0.0)
+    cm.put_np(c_min, "bbox_lo", bbox_lo)
+    cx.put_np(c_max, "bbox_hi", bbox_hi)
 
     def _img_group(images, bins):
         cnt = np.zeros((C, len(images)))
@@ -117,11 +199,18 @@ def build_state(rag: Rag, cfg: FeatureConfig):
 
     r_cnt, r_sum, r_sumsq, r_min, r_max, r_hist = _img_group(
         cfg.r_images, max(spec.r_bins, 1))
+    ca.put_np(c_add, "r_cnt", r_cnt)
+    ca.put_np(c_add, "r_sum", r_sum)
+    ca.put_np(c_add, "r_sumsq", r_sumsq)
+    ca.put_np(c_add, "r_hist", r_hist)
+    cm.put_np(c_min, "r_min", r_min)
+    cx.put_np(c_max, "r_max", r_max)
     rl_hist = np.zeros((C, nRL, max(spec.rl_bins, 1)))
     for i, img in enumerate(cfg.rl_images):
         v = np.asarray(img.image, np.float64).ravel()[pix]
         st = group_stats(v, rid, R, img.hist_bins, img.hist_range)
         rl_hist[:R, i] = st["hist"]
+    ca.put_np(c_add, "rl_hist", rl_hist)
 
     # ---- directed base-pair stats -> per-edge part groups ----
     Ed = len(rag.dir_pairs)
@@ -157,24 +246,23 @@ def build_state(rag: Rag, cfg: FeatureConfig):
     is_u_side = a_idx == eu.astype(np.int64)[inv]
     part = np.where(mutual, 0, 1) + np.where(is_u_side, 0, 2)
 
-    p_cnt = np.zeros((E, 4))
-    p_vp = np.zeros((E, 4, nT))
-    np.add.at(p_cnt, (inv, part), dp_cnt)
-    np.add.at(p_vp, (inv, part), dp_vp)
-    p_b_cnt = np.zeros((E, 4, nB))
-    p_b_sum = np.zeros((E, 4, nB))
-    p_b_sumsq = np.zeros((E, 4, nB))
-    p_b_min = np.full((E, 4, nB), POS_INF)
-    p_b_max = np.full((E, 4, nB), NEG_INF)
-    p_b_hist = np.zeros((E, 4, nB, max(spec.b_bins, 1)))
+    e_add = np.zeros((E, 4, ea.width))
+    e_min = np.full((E, 4, max(nB, 0)), POS_INF)
+    e_max = np.full((E, 4, max(nB, 0)), NEG_INF)
+    dp_rows = np.zeros((Ed, ea.width))
+    ea.put_np(dp_rows, "cnt", dp_cnt)
+    ea.put_np(dp_rows, "vp", dp_vp)
+    if nB:
+        ea.put_np(dp_rows, "b_cnt", np.stack([s["cnt"] for s in dp_b], 1))
+        ea.put_np(dp_rows, "b_sum", np.stack([s["sum"] for s in dp_b], 1))
+        ea.put_np(dp_rows, "b_sumsq",
+                  np.stack([s["sumsq"] for s in dp_b], 1))
+        ea.put_np(dp_rows, "b_hist", np.stack([s["hist"] for s in dp_b], 1))
+    np.add.at(e_add, (inv, part), dp_rows)
     for bi, st in enumerate(dp_b):
-        np.add.at(p_b_cnt[:, :, bi], (inv, part), st["cnt"])
-        np.add.at(p_b_sum[:, :, bi], (inv, part), st["sum"])
-        np.add.at(p_b_sumsq[:, :, bi], (inv, part), st["sumsq"])
         nz = st["cnt"] > 0
-        np.minimum.at(p_b_min[:, :, bi], (inv[nz], part[nz]), st["min"][nz])
-        np.maximum.at(p_b_max[:, :, bi], (inv[nz], part[nz]), st["max"][nz])
-        np.add.at(p_b_hist[:, :, bi], (inv, part), st["hist"])
+        np.minimum.at(e_min[:, :, bi], (inv[nz], part[nz]), st["min"][nz])
+        np.maximum.at(e_max[:, :, bi], (inv[nz], part[nz]), st["max"][nz])
 
     # table membership: both directions exist (boundary_table.hxx:99-103)
     has_u = np.zeros(E, bool)
@@ -185,26 +273,16 @@ def build_state(rag: Rag, cfg: FeatureConfig):
 
     state = {
         "c_alive": np.concatenate([np.ones(R, bool), np.zeros(C - R, bool)]),
-        "c_area": area, "c_border": border,
-        "c_bbox_lo": bbox_lo, "c_bbox_hi": bbox_hi,
-        "c_r_cnt": r_cnt, "c_r_sum": r_sum, "c_r_sumsq": r_sumsq,
-        "c_r_min": r_min, "c_r_max": r_max, "c_r_hist": r_hist,
-        "c_rl_hist": rl_hist,
-        "res_cnt": np.zeros(C), "res_vp": np.zeros((C, nT)),
-        "res_b_cnt": np.zeros((C, nB)), "res_b_sum": np.zeros((C, nB)),
-        "res_b_sumsq": np.zeros((C, nB)),
-        "res_b_min": np.full((C, nB), POS_INF),
-        "res_b_max": np.full((C, nB), NEG_INF),
-        "res_b_hist": np.zeros((C, nB, max(spec.b_bins, 1))),
+        "c_add": c_add, "c_min": c_min, "c_max": c_max,
         "eu": eu, "ev": ev,
         "e_alive": np.ones(E, bool), "e_table": e_table,
-        "p_cnt": p_cnt, "p_vp": p_vp,
-        "p_b_cnt": p_b_cnt, "p_b_sum": p_b_sum, "p_b_sumsq": p_b_sumsq,
-        "p_b_min": p_b_min, "p_b_max": p_b_max, "p_b_hist": p_b_hist,
+        "e_add": e_add, "e_min": e_min, "e_max": e_max,
         "next_id": np.int32(R),
     }
     nt_feat = bc_feat_dim(cfg, ndim)
-    return state, BcDeviceStatic(spec=spec, C=C, E=E, R=R, feat_dim=nt_feat)
+    return state, BcDeviceStatic(
+        spec=spec, C=C, E=E, R=R, feat_dim=nt_feat, ca=ca, cm=cm, cx=cx,
+        ea=ea, res_off=res_off, rmin_off=rmin_off)
 
 
 def bc_feat_dim(cfg: FeatureConfig, ndim: int) -> int:
@@ -218,52 +296,42 @@ def bc_feat_dim(cfg: FeatureConfig, ndim: int) -> int:
 
 def _component_totals(state, static):
     """One-sided boundary totals per component (record_with_boundary's
-    bd/vp/b fields): residual + all outgoing entry parts."""
+    bd/vp/b fields): residual + all outgoing entry parts.
+
+    Returns (tot_badd [C, PA], tot_bmin [C, nB], tot_bmax [C, nB],
+    (side mins/maxes per edge))."""
     import jax
     import jax.numpy as jnp
 
     C = static.C
     eu, ev, alive = state["eu"], state["ev"], state["e_alive"]
+    e_add, e_min, e_max = state["e_add"], state["e_min"], state["e_max"]
 
-    def seg2(vals_u, vals_v):
-        z_u = jnp.where(
-            alive.reshape((-1,) + (1,) * (vals_u.ndim - 1)), vals_u, 0.0)
-        z_v = jnp.where(
-            alive.reshape((-1,) + (1,) * (vals_v.ndim - 1)), vals_v, 0.0)
-        return (jax.ops.segment_sum(z_u, eu, num_segments=C)
-                + jax.ops.segment_sum(z_v, ev, num_segments=C))
-
-    side_u_cnt = state["p_cnt"][:, P_MU] + state["p_cnt"][:, P_NU]
-    side_v_cnt = state["p_cnt"][:, P_MV] + state["p_cnt"][:, P_NV]
-    tot_cnt = state["res_cnt"] + seg2(side_u_cnt, side_v_cnt)
-    side_u_vp = state["p_vp"][:, P_MU] + state["p_vp"][:, P_NU]
-    side_v_vp = state["p_vp"][:, P_MV] + state["p_vp"][:, P_NV]
-    tot_vp = state["res_vp"] + seg2(side_u_vp, side_v_vp)
-
-    tot = {"cnt": tot_cnt, "vp": tot_vp}
-    # additive boundary stat fields
-    for name in ("b_cnt", "b_sum", "b_sumsq", "b_hist"):
-        p = state["p_" + name]
-        tot[name] = state["res_" + name] + seg2(
-            p[:, P_MU] + p[:, P_NU], p[:, P_MV] + p[:, P_NV])
-
-    # min / max via scatter reductions
-    pmin = state["p_b_min"]
-    pmax = state["p_b_max"]
-    side_u_min = jnp.minimum(pmin[:, P_MU], pmin[:, P_NU])
-    side_v_min = jnp.minimum(pmin[:, P_MV], pmin[:, P_NV])
-    side_u_max = jnp.maximum(pmax[:, P_MU], pmax[:, P_NU])
-    side_v_max = jnp.maximum(pmax[:, P_MV], pmax[:, P_NV])
+    side_u = e_add[:, P_MU] + e_add[:, P_NU]       # [E, PA]
+    side_v = e_add[:, P_MV] + e_add[:, P_NV]
     am = alive[:, None]
-    tmin = jnp.full_like(state["res_b_min"], POS_INF)
+    tot_badd = state["c_add"][:, static.res_off:]
+    tot_badd = tot_badd + jax.ops.segment_sum(
+        jnp.where(am, side_u, 0.0), eu, num_segments=C)
+    tot_badd = tot_badd + jax.ops.segment_sum(
+        jnp.where(am, side_v, 0.0), ev, num_segments=C)
+
+    side_u_min = jnp.minimum(e_min[:, P_MU], e_min[:, P_NU])
+    side_v_min = jnp.minimum(e_min[:, P_MV], e_min[:, P_NV])
+    side_u_max = jnp.maximum(e_max[:, P_MU], e_max[:, P_NU])
+    side_v_max = jnp.maximum(e_max[:, P_MV], e_max[:, P_NV])
+    res_min = state["c_min"][:, static.rmin_off:]
+    tmin = jnp.full_like(res_min, POS_INF)
     tmin = tmin.at[eu].min(jnp.where(am, side_u_min, POS_INF))
     tmin = tmin.at[ev].min(jnp.where(am, side_v_min, POS_INF))
-    tot["b_min"] = jnp.minimum(state["res_b_min"], tmin)
-    tmax = jnp.full_like(state["res_b_max"], NEG_INF)
+    tot_bmin = jnp.minimum(res_min, tmin)
+    res_max = state["c_max"][:, static.rmin_off:]
+    tmax = jnp.full_like(res_max, NEG_INF)
     tmax = tmax.at[eu].max(jnp.where(am, side_u_max, NEG_INF))
     tmax = tmax.at[ev].max(jnp.where(am, side_v_max, NEG_INF))
-    tot["b_max"] = jnp.maximum(state["res_b_max"], tmax)
-    return tot, (side_u_min, side_v_min, side_u_max, side_v_max)
+    tot_bmax = jnp.maximum(res_max, tmax)
+    return (tot_badd, tot_bmin, tot_bmax,
+            (side_u_min, side_v_min, side_u_max, side_v_max))
 
 
 def _excl_reduce(vals_u, vals_v, eu, ev, alive, C, kind):
@@ -312,89 +380,90 @@ def _excl_reduce(vals_u, vals_v, eu, ev, alive, C, kind):
     return excl(z_u, eu), excl(z_v, ev)
 
 
+def _region_rec(static, add_rows, min_rows, max_rows, badd_rows,
+                bmin_rows, bmax_rows):
+    """Unpack gathered rows into the bc_features_dev record dict."""
+    ca, cm, cx, ea = static.ca, static.cm, static.cx, static.ea
+    return {
+        "area": ca.get(add_rows, "area"),
+        "border": ca.get(add_rows, "border"),
+        "r_cnt": ca.get(add_rows, "r_cnt"),
+        "r_sum": ca.get(add_rows, "r_sum"),
+        "r_sumsq": ca.get(add_rows, "r_sumsq"),
+        "r_hist": ca.get(add_rows, "r_hist"),
+        "rl_hist": ca.get(add_rows, "rl_hist"),
+        "bbox_lo": cm.get(min_rows, "bbox_lo"),
+        "r_min": cm.get(min_rows, "r_min"),
+        "bbox_hi": cx.get(max_rows, "bbox_hi"),
+        "r_max": cx.get(max_rows, "r_max"),
+        "bd": ea.get(badd_rows, "cnt"),
+        "vp": ea.get(badd_rows, "vp"),
+        "b_cnt": ea.get(badd_rows, "b_cnt"),
+        "b_sum": ea.get(badd_rows, "b_sum"),
+        "b_sumsq": ea.get(badd_rows, "b_sumsq"),
+        "b_hist": ea.get(badd_rows, "b_hist"),
+        "b_min": bmin_rows,
+        "b_max": bmax_rows,
+    }
+
+
 def candidate_features(state, static: BcDeviceStatic):
     """Full-width BC feature matrix [E, D] for every alive edge, plus the
     candidate-valid mask (alive & in-table).  Pure JAX."""
     import jax.numpy as jnp
 
-    spec = static.spec
+    spec, ea = static.spec, static.ea
     eu, ev, alive = state["eu"], state["ev"], state["e_alive"]
-    tot, sides = _component_totals(state, static)
+    e_add, e_min, e_max = state["e_add"], state["e_min"], state["e_max"]
+    tot_badd, tot_bmin, tot_bmax, sides = _component_totals(state, static)
     side_u_min, side_v_min, side_u_max, side_v_max = sides
 
-    def region_rec(idx, tot):
-        rec = {
-            "area": state["c_area"][idx], "border": state["c_border"][idx],
-            "bd": tot["cnt"][idx], "vp": tot["vp"][idx],
-            "bbox_lo": state["c_bbox_lo"][idx],
-            "bbox_hi": state["c_bbox_hi"][idx],
-            "r_cnt": state["c_r_cnt"][idx], "r_sum": state["c_r_sum"][idx],
-            "r_sumsq": state["c_r_sumsq"][idx],
-            "r_min": state["c_r_min"][idx], "r_max": state["c_r_max"][idx],
-            "r_hist": state["c_r_hist"][idx],
-            "rl_hist": state["c_rl_hist"][idx],
-            "b_cnt": tot["b_cnt"][idx], "b_sum": tot["b_sum"][idx],
-            "b_sumsq": tot["b_sumsq"][idx], "b_min": tot["b_min"][idx],
-            "b_max": tot["b_max"][idx], "b_hist": tot["b_hist"][idx],
-        }
-        return rec
-
-    rec0 = region_rec(eu, tot)
-    rec1 = region_rec(ev, tot)
+    rec0 = _region_rec(static, state["c_add"][eu], state["c_min"][eu],
+                       state["c_max"][eu], tot_badd[eu], tot_bmin[eu],
+                       tot_bmax[eu])
+    rec1 = _region_rec(static, state["c_add"][ev], state["c_min"][ev],
+                       state["c_max"][ev], tot_badd[ev], tot_bmin[ev],
+                       tot_bmax[ev])
 
     # pair boundary: all four parts (getBoundary both sides)
+    pair_add = e_add.sum(axis=1)
     pair = {
-        "cnt": state["p_cnt"].sum(axis=1),
-        "vp": state["p_vp"].sum(axis=1),
-        "b_cnt": state["p_b_cnt"].sum(axis=1),
-        "b_sum": state["p_b_sum"].sum(axis=1),
-        "b_sumsq": state["p_b_sumsq"].sum(axis=1),
-        "b_min": state["p_b_min"].min(axis=1),
-        "b_max": state["p_b_max"].max(axis=1),
-        "b_hist": state["p_b_hist"].sum(axis=1),
+        "cnt": ea.get(pair_add, "cnt"),
+        "vp": ea.get(pair_add, "vp"),
+        "b_cnt": ea.get(pair_add, "b_cnt"),
+        "b_sum": ea.get(pair_add, "b_sum"),
+        "b_sumsq": ea.get(pair_add, "b_sumsq"),
+        "b_hist": ea.get(pair_add, "b_hist"),
+        "b_min": e_min.min(axis=1),
+        "b_max": e_max.max(axis=1),
     }
 
-    # merged record (the reference's scratch merge, struct_merge_bc.hxx:18-35)
-    both = state["c_r_cnt"][eu] * state["c_r_cnt"][ev] > 0
-    only0 = state["c_r_cnt"][eu] > 0
-    rec2 = {
-        "area": rec0["area"] + rec1["area"],
-        "border": rec0["border"] + rec1["border"],
-        "bbox_lo": jnp.minimum(rec0["bbox_lo"], rec1["bbox_lo"]),
-        "bbox_hi": jnp.maximum(rec0["bbox_hi"], rec1["bbox_hi"]),
-        "r_cnt": rec0["r_cnt"] + rec1["r_cnt"],
-        "r_sum": rec0["r_sum"] + rec1["r_sum"],
-        "r_sumsq": rec0["r_sumsq"] + rec1["r_sumsq"],
-        "r_min": jnp.where(both, jnp.minimum(rec0["r_min"], rec1["r_min"]),
-                           jnp.where(only0, rec0["r_min"], rec1["r_min"])),
-        "r_max": jnp.where(both, jnp.maximum(rec0["r_max"], rec1["r_max"]),
-                           jnp.where(only0, rec0["r_max"], rec1["r_max"])),
-        "r_hist": rec0["r_hist"] + rec1["r_hist"],
-        "rl_hist": rec0["rl_hist"] + rec1["rl_hist"],
-    }
-    # merged boundary, additive fields: tot_u + tot_v - both mutual parts
-    rec2["bd"] = (tot["cnt"][eu] + tot["cnt"][ev]
-                  - state["p_cnt"][:, P_MU] - state["p_cnt"][:, P_MV])
-    rec2["vp"] = (tot["vp"][eu] + tot["vp"][ev]
-                  - state["p_vp"][:, P_MU] - state["p_vp"][:, P_MV])
-    for name in ("b_cnt", "b_sum", "b_sumsq", "b_hist"):
-        p = state["p_" + name]
-        rec2[name] = (tot[name][eu] + tot[name][ev]
-                      - p[:, P_MU] - p[:, P_MV])
+    # merged record (the reference's scratch merge, struct_merge_bc.hxx:
+    # 18-35): additive = sum, min/max = elementwise (+-inf empty fills
+    # preserve the host's both/only0 semantics exactly)
+    add2 = state["c_add"][eu] + state["c_add"][ev]
+    min2 = jnp.minimum(state["c_min"][eu], state["c_min"][ev])
+    max2 = jnp.maximum(state["c_max"][eu], state["c_max"][ev])
+    # merged boundary, additive block: tot_u + tot_v - both mutual parts
+    badd2 = (tot_badd[eu] + tot_badd[ev]
+             - e_add[:, P_MU] - e_add[:, P_MV])
     # merged boundary min/max: exclude this edge's side values, keep its
     # non-mutual parts and residuals
     exu_min, exv_min = _excl_reduce(side_u_min, side_v_min, eu, ev, alive,
                                     static.C, "min")
     exu_max, exv_max = _excl_reduce(side_u_max, side_v_max, eu, ev, alive,
                                     static.C, "max")
-    n_min = jnp.minimum(state["p_b_min"][:, P_NU], state["p_b_min"][:, P_NV])
-    n_max = jnp.maximum(state["p_b_max"][:, P_NU], state["p_b_max"][:, P_NV])
-    rec2["b_min"] = jnp.minimum(
-        jnp.minimum(state["res_b_min"][eu], state["res_b_min"][ev]),
+    res_min = state["c_min"][:, static.rmin_off:]
+    res_max = state["c_max"][:, static.rmin_off:]
+    n_min = jnp.minimum(e_min[:, P_NU], e_min[:, P_NV])
+    n_max = jnp.maximum(e_max[:, P_NU], e_max[:, P_NV])
+    bmin2 = jnp.minimum(
+        jnp.minimum(res_min[eu], res_min[ev]),
         jnp.minimum(jnp.minimum(exu_min, exv_min), n_min))
-    rec2["b_max"] = jnp.maximum(
-        jnp.maximum(state["res_b_max"][eu], state["res_b_max"][ev]),
+    bmax2 = jnp.maximum(
+        jnp.maximum(res_max[eu], res_max[ev]),
         jnp.maximum(jnp.maximum(exu_max, exv_max), n_max))
+    rec2 = _region_rec(static, add2, min2, max2, badd2, bmin2, bmax2)
 
     feats = bc_features_dev(rec0, rec1, rec2, pair, spec)
     valid = alive & state["e_table"]
@@ -434,6 +503,7 @@ def _make_step_fn(static: BcDeviceStatic, predict_fn: Callable,
     import jax.numpy as jnp
 
     C, E, R = static.C, static.E, static.R
+    res_off, rmin_off = static.res_off, static.rmin_off
 
     def step(state, consts=None, force_mask=None):
         feats, valid = candidate_features(state, static)
@@ -448,6 +518,8 @@ def _make_step_fn(static: BcDeviceStatic, predict_fn: Callable,
                                          state["ev"], C)
 
         eu, ev = state["eu"], state["ev"]
+        e_add, e_min, e_max = (state["e_add"], state["e_min"],
+                               state["e_max"])
         rank = jnp.cumsum(ok.astype(jnp.int32)) - 1
         r2 = state["next_id"] + rank
         rows = jnp.stack([eu, ev, r2], axis=1)
@@ -463,57 +535,29 @@ def _make_step_fn(static: BcDeviceStatic, predict_fn: Callable,
                 jnp.where(ok.reshape((-1,) + (1,) * (arr.ndim - 1)),
                           new_vals, pad[tgt]))[:C]
 
-        # --- new component records (union of endpoints) ---
+        # --- new component records (union of endpoints); the residual
+        # block additionally absorbs this edge's non-mutual parts (the
+        # mutual parts cancel, region.hxx:68-77) ---
         st = dict(state)
-        g = lambda a: (a[eu], a[ev])
-        for name in ("c_area", "c_border", "c_r_cnt", "c_r_sum",
-                     "c_r_sumsq", "c_r_hist", "c_rl_hist"):
-            a0, a1 = g(state[name])
-            st[name] = scat_set(state[name], a0 + a1)
-        lo0, lo1 = g(state["c_bbox_lo"])
-        st["c_bbox_lo"] = scat_set(state["c_bbox_lo"], jnp.minimum(lo0, lo1))
-        hi0, hi1 = g(state["c_bbox_hi"])
-        st["c_bbox_hi"] = scat_set(state["c_bbox_hi"], jnp.maximum(hi0, hi1))
-        both = state["c_r_cnt"][eu] * state["c_r_cnt"][ev] > 0
-        only0 = state["c_r_cnt"][eu] > 0
-        mn0, mn1 = g(state["c_r_min"])
-        st["c_r_min"] = scat_set(
-            state["c_r_min"],
-            jnp.where(both, jnp.minimum(mn0, mn1),
-                      jnp.where(only0, mn0, mn1)))
-        mx0, mx1 = g(state["c_r_max"])
-        st["c_r_max"] = scat_set(
-            state["c_r_max"],
-            jnp.where(both, jnp.maximum(mx0, mx1),
-                      jnp.where(only0, mx0, mx1)))
-
-        # residual: res_u + res_v + this edge's non-mutual parts (the
-        # mutual parts cancel, region.hxx:68-77)
-        st["res_cnt"] = scat_set(
-            state["res_cnt"],
-            state["res_cnt"][eu] + state["res_cnt"][ev]
-            + state["p_cnt"][:, P_NU] + state["p_cnt"][:, P_NV])
-        st["res_vp"] = scat_set(
-            state["res_vp"],
-            state["res_vp"][eu] + state["res_vp"][ev]
-            + state["p_vp"][:, P_NU] + state["p_vp"][:, P_NV])
-        for name in ("b_cnt", "b_sum", "b_sumsq", "b_hist"):
-            st["res_" + name] = scat_set(
-                state["res_" + name],
-                state["res_" + name][eu] + state["res_" + name][ev]
-                + state["p_" + name][:, P_NU] + state["p_" + name][:, P_NV])
-        st["res_b_min"] = scat_set(
-            state["res_b_min"],
-            jnp.minimum(
-                jnp.minimum(state["res_b_min"][eu], state["res_b_min"][ev]),
-                jnp.minimum(state["p_b_min"][:, P_NU],
-                            state["p_b_min"][:, P_NV])))
-        st["res_b_max"] = scat_set(
-            state["res_b_max"],
-            jnp.maximum(
-                jnp.maximum(state["res_b_max"][eu], state["res_b_max"][ev]),
-                jnp.maximum(state["p_b_max"][:, P_NU],
-                            state["p_b_max"][:, P_NV])))
+        add2 = state["c_add"][eu] + state["c_add"][ev]
+        add2 = jnp.concatenate(
+            [add2[:, :res_off],
+             add2[:, res_off:] + e_add[:, P_NU] + e_add[:, P_NV]], axis=1)
+        st["c_add"] = scat_set(state["c_add"], add2)
+        min2 = jnp.minimum(state["c_min"][eu], state["c_min"][ev])
+        min2 = jnp.concatenate(
+            [min2[:, :rmin_off],
+             jnp.minimum(min2[:, rmin_off:],
+                         jnp.minimum(e_min[:, P_NU], e_min[:, P_NV]))],
+            axis=1)
+        st["c_min"] = scat_set(state["c_min"], min2)
+        max2 = jnp.maximum(state["c_max"][eu], state["c_max"][ev])
+        max2 = jnp.concatenate(
+            [max2[:, :rmin_off],
+             jnp.maximum(max2[:, rmin_off:],
+                         jnp.maximum(e_max[:, P_NU], e_max[:, P_NV]))],
+            axis=1)
+        st["c_max"] = scat_set(state["c_max"], max2)
 
         alive_c = state["c_alive"]
         src_u = jnp.where(ok, eu, dump)
@@ -538,11 +582,10 @@ def _make_step_fn(static: BcDeviceStatic, predict_fn: Callable,
         eu3 = jnp.where(swap, ev2, eu2)
         ev3 = jnp.where(swap, eu2, ev2)
         perm = jnp.asarray([P_MV, P_NV, P_MU, P_NU])
-        for name in ("p_cnt", "p_vp", "p_b_cnt", "p_b_sum", "p_b_sumsq",
-                     "p_b_min", "p_b_max", "p_b_hist"):
-            p = state[name]
-            sw = swap.reshape((-1,) + (1,) * (p.ndim - 1))
-            st[name] = jnp.where(sw, p[:, perm], p)
+        sw = swap[:, None, None]
+        e_add = jnp.where(sw, e_add[:, perm], e_add)
+        e_min = jnp.where(sw, e_min[:, perm], e_min)
+        e_max = jnp.where(sw, e_max[:, perm], e_max)
 
         # --- dedupe duplicate pairs: 3-operand key sort + gathers ---
         idx = jnp.arange(E, dtype=jnp.int32)
@@ -560,27 +603,21 @@ def _make_step_fn(static: BcDeviceStatic, predict_fn: Callable,
         seg_id = jnp.cumsum(first.astype(jnp.int32)) - 1
         keep = first & alive_s
 
-        def seg_add(p):
-            pz = jnp.where(alive_s.reshape((-1,) + (1,) * (p.ndim - 1)),
-                           p, 0.0)
-            ps = jax.ops.segment_sum(pz, seg_id, num_segments=E)
-            return jnp.where(keep.reshape((-1,) + (1,) * (p.ndim - 1)),
-                             ps[seg_id], p)
+        am3 = alive_s[:, None, None]
+        k3 = keep[:, None, None]
+        ea_s = take(e_add)
+        ps = jax.ops.segment_sum(jnp.where(am3, ea_s, 0.0), seg_id,
+                                 num_segments=E)
+        st["e_add"] = jnp.where(k3, ps[seg_id], ea_s)
+        em_s = take(e_min)
+        pm = jax.ops.segment_min(jnp.where(am3, em_s, POS_INF), seg_id,
+                                 num_segments=E)
+        st["e_min"] = jnp.where(k3, pm[seg_id], em_s)
+        ex_s = take(e_max)
+        px = jax.ops.segment_max(jnp.where(am3, ex_s, NEG_INF), seg_id,
+                                 num_segments=E)
+        st["e_max"] = jnp.where(k3, px[seg_id], ex_s)
 
-        def seg_red(p, kind):
-            fill = POS_INF if kind == "min" else NEG_INF
-            pz = jnp.where(alive_s.reshape((-1,) + (1,) * (p.ndim - 1)),
-                           p, fill)
-            f = jax.ops.segment_min if kind == "min" else jax.ops.segment_max
-            ps = f(pz, seg_id, num_segments=E)
-            return jnp.where(keep.reshape((-1,) + (1,) * (p.ndim - 1)),
-                             ps[seg_id], p)
-
-        for name in ("p_cnt", "p_vp", "p_b_cnt", "p_b_sum", "p_b_sumsq",
-                     "p_b_hist"):
-            st[name] = seg_add(take(st[name]))
-        st["p_b_min"] = seg_red(take(st["p_b_min"]), "min")
-        st["p_b_max"] = seg_red(take(st["p_b_max"]), "max")
         # table: any duplicate in table keeps the pair a candidate
         # (boundary_table update() rekeys existing entries)
         tbl = jax.ops.segment_max(
@@ -627,8 +664,8 @@ def make_merge_loop(static: BcDeviceStatic, predict_fn: Callable,
     so no host round-trip happens between supersteps (the remote-execute
     latency otherwise dominates, ~0.8s/step through the TPU tunnel).
 
-    Returns jitted fn(state) -> (order [max_m, 3] dense-id rows, sal,
-    n_merges, n_scored_total, n_steps).
+    Returns jitted fn(state[, consts]) -> (order [max_m, 3] dense-id rows,
+    sal, n_merges, n_scored_total, n_steps).
     """
     import jax
     import jax.numpy as jnp
@@ -637,34 +674,37 @@ def make_merge_loop(static: BcDeviceStatic, predict_fn: Callable,
     max_m = max(R - 1, 1)
     step = _make_step_fn(static, predict_fn, with_consts=with_consts)
 
-    def cond(carry):
-        state, consts, order, sal, n_scored, n_steps, n_left = carry
-        return (n_left > 0) & (n_steps < max_supersteps)
-
-    def body(carry):
-        state, consts, order, sal, n_scored, n_steps, n_left = carry
-        st, rows, probs, ok, n_left2, scored = step(state, consts)
-        slot = jnp.where(ok, rows[:, 2] - R, max_m)
-        order_pad = jnp.concatenate(
-            [order, jnp.full((1, 3), -1, jnp.int32)], axis=0)
-        order = order_pad.at[slot].set(
-            jnp.where(ok[:, None], rows, -1))[:max_m]
-        sal_pad = jnp.concatenate([sal, jnp.zeros(1, sal.dtype)])
-        sal = sal_pad.at[slot].set(
-            jnp.where(ok, probs.astype(sal.dtype), 0.0))[:max_m]
-        return (st, consts, order, sal,
-                n_scored + scored.astype(n_scored.dtype),
-                n_steps + 1, n_left2)
-
     @jax.jit
     def run(state, consts=None):
+        # consts (classifier node tables) are a free variable of the loop
+        # body, NOT part of the carry: threading a tens-of-MB table
+        # through the while carry made XLA's loop layout assignment take
+        # minutes (292s vs 8s for this same program)
+        def cond(carry):
+            state, order, sal, n_scored, n_steps, n_left = carry
+            return (n_left > 0) & (n_steps < max_supersteps)
+
+        def body(carry):
+            state, order, sal, n_scored, n_steps, n_left = carry
+            st, rows, probs, ok, n_left2, scored = step(state, consts)
+            slot = jnp.where(ok, rows[:, 2] - R, max_m)
+            order_pad = jnp.concatenate(
+                [order, jnp.full((1, 3), -1, jnp.int32)], axis=0)
+            order = order_pad.at[slot].set(
+                jnp.where(ok[:, None], rows, -1))[:max_m]
+            sal_pad = jnp.concatenate([sal, jnp.zeros(1, sal.dtype)])
+            sal = sal_pad.at[slot].set(
+                jnp.where(ok, probs.astype(sal.dtype), 0.0))[:max_m]
+            return (st, order, sal,
+                    n_scored + scored.astype(n_scored.dtype),
+                    n_steps + 1, n_left2)
+
         order0 = jnp.full((max_m, 3), -1, jnp.int32)
         sal0 = jnp.zeros(max_m)
         n_left0 = (state["e_alive"] & state["e_table"]).sum()
-        carry = (state, consts, order0, sal0, jnp.int32(0), jnp.int32(0),
-                 n_left0)
-        state, _, order, sal, n_scored, n_steps, _ = jax.lax.while_loop(
-            cond, body, carry)
+        carry = (state, order0, sal0, jnp.int32(0), jnp.int32(0), n_left0)
+        state, order, sal, n_scored, n_steps = jax.lax.while_loop(
+            cond, body, carry)[:5]
         n_m = state["next_id"] - R
         return order, sal, n_m, n_scored, n_steps
 

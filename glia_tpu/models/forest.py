@@ -144,7 +144,10 @@ def forest_votes_jax_fn(model: ForestModel):
         X = X.astype(jnp.float32)
         B, D = X.shape
         Xf = X.reshape(-1)
-        node = jnp.zeros((B, T), dtype=jnp.int32)
+        # derive the carry init from X so its varying-manual-axes match
+        # the loop body's under shard_map (scan/fori vma rule)
+        node = jnp.zeros((B, T), dtype=jnp.int32) + (
+            X[:, :1] * 0.0).astype(jnp.int32)
         tree_base = jnp.arange(T, dtype=jnp.int32)[None, :] * N   # [1, T]
         row_base = (jnp.arange(B, dtype=jnp.int32) * D)[:, None]  # [B, 1]
 
