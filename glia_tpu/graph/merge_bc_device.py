@@ -89,16 +89,20 @@ def _make_packs(spec: DeviceFeatureSpec):
     """
     nR, nRL, nB, nT, D = (spec.n_r, spec.n_rl, spec.n_b, spec.n_thresh,
                           spec.ndim)
-    rB = max(spec.r_bins, 1)
-    rlB = max(spec.rl_bins, 1)
-    bB = max(spec.b_bins, 1)
+    rB = max(spec.r_bins_max, 1)
+    rlB = max(spec.rl_bins_max, 1)
+    bB = max(spec.b_bins_max, 1)
     ea = _Pack()
     ea.add("cnt").add("vp", (nT,)).add("b_cnt", (nB,)).add("b_sum", (nB,))
     ea.add("b_sumsq", (nB,)).add("b_hist", (nB, bB))
+    if spec.median_as_feats:
+        ea.add("b_medh", (nB, spec.b_med_v))
     ca = _Pack()
     ca.add("area").add("border").add("r_cnt", (nR,)).add("r_sum", (nR,))
     ca.add("r_sumsq", (nR,)).add("r_hist", (nR, rB))
     ca.add("rl_hist", (nRL, rlB))
+    if spec.median_as_feats:
+        ca.add("r_medh", (nR, spec.r_med_v))
     res_off = ca.width
     for name, (a, b, shape) in ea.slices.items():
         ca.add("res_" + name, shape if shape else ())
@@ -194,23 +198,32 @@ def build_state(rag: Rag, cfg: FeatureConfig):
             ss[:R, i] = st["sumsq"]
             mn[:R, i] = st["min"]
             mx[:R, i] = st["max"]
-            h[:R, i] = st["hist"]
+            h[:R, i, :img.hist_bins] = st["hist"]
         return cnt, s, ss, mn, mx, h
 
     r_cnt, r_sum, r_sumsq, r_min, r_max, r_hist = _img_group(
-        cfg.r_images, max(spec.r_bins, 1))
+        cfg.r_images, max(spec.r_bins_max, 1))
     ca.put_np(c_add, "r_cnt", r_cnt)
     ca.put_np(c_add, "r_sum", r_sum)
     ca.put_np(c_add, "r_sumsq", r_sumsq)
     ca.put_np(c_add, "r_hist", r_hist)
     cm.put_np(c_min, "r_min", r_min)
     cx.put_np(c_max, "r_max", r_max)
-    rl_hist = np.zeros((C, nRL, max(spec.rl_bins, 1)))
+    rl_hist = np.zeros((C, nRL, max(spec.rl_bins_max, 1)))
     for i, img in enumerate(cfg.rl_images):
         v = np.asarray(img.image, np.float64).ravel()[pix]
         st = group_stats(v, rid, R, img.hist_bins, img.hist_range)
-        rl_hist[:R, i] = st["hist"]
+        rl_hist[:R, i, :img.hist_bins] = st["hist"]
     ca.put_np(c_add, "rl_hist", rl_hist)
+    if spec.median_as_feats:
+        from ..features.device import counting_hist
+
+        r_medh = np.zeros((C, nR, spec.r_med_v))
+        for i, img in enumerate(cfg.r_images):
+            v = np.asarray(img.image, np.float64).ravel()[pix]
+            r_medh[:R, i, :len(spec.r_med_vals[i])] = counting_hist(
+                v, rid, R, spec.r_med_vals[i], len(spec.r_med_vals[i]))
+        ca.put_np(c_add, "r_medh", r_medh)
 
     # ---- directed base-pair stats -> per-edge part groups ----
     Ed = len(rag.dir_pairs)
@@ -257,7 +270,20 @@ def build_state(rag: Rag, cfg: FeatureConfig):
         ea.put_np(dp_rows, "b_sum", np.stack([s["sum"] for s in dp_b], 1))
         ea.put_np(dp_rows, "b_sumsq",
                   np.stack([s["sumsq"] for s in dp_b], 1))
-        ea.put_np(dp_rows, "b_hist", np.stack([s["hist"] for s in dp_b], 1))
+        bh = np.zeros((Ed, nB, max(spec.b_bins_max, 1)))
+        for i, s in enumerate(dp_b):
+            bh[:, i, :s["hist"].shape[1]] = s["hist"]
+        ea.put_np(dp_rows, "b_hist", bh)
+        if spec.median_as_feats:
+            from ..features.device import counting_hist
+
+            bmh = np.zeros((Ed, nB, spec.b_med_v))
+            for i, img in enumerate(cfg.b_images):
+                v = np.asarray(img.image, np.float64).ravel()[rag.dir_pixels]
+                bmh[:, i, :len(spec.b_med_vals[i])] = counting_hist(
+                    v, dpid, Ed, spec.b_med_vals[i],
+                    len(spec.b_med_vals[i]))
+            ea.put_np(dp_rows, "b_medh", bmh)
     np.add.at(e_add, (inv, part), dp_rows)
     for bi, st in enumerate(dp_b):
         nz = st["cnt"] > 0
@@ -384,7 +410,7 @@ def _region_rec(static, add_rows, min_rows, max_rows, badd_rows,
                 bmin_rows, bmax_rows):
     """Unpack gathered rows into the bc_features_dev record dict."""
     ca, cm, cx, ea = static.ca, static.cm, static.cx, static.ea
-    return {
+    rec = {
         "area": ca.get(add_rows, "area"),
         "border": ca.get(add_rows, "border"),
         "r_cnt": ca.get(add_rows, "r_cnt"),
@@ -405,6 +431,10 @@ def _region_rec(static, add_rows, min_rows, max_rows, badd_rows,
         "b_min": bmin_rows,
         "b_max": bmax_rows,
     }
+    if static.spec.median_as_feats:
+        rec["r_medh"] = ca.get(add_rows, "r_medh")
+        rec["b_medh"] = ea.get(badd_rows, "b_medh")
+    return rec
 
 
 def candidate_features(state, static: BcDeviceStatic):
@@ -437,6 +467,8 @@ def candidate_features(state, static: BcDeviceStatic):
         "b_min": e_min.min(axis=1),
         "b_max": e_max.max(axis=1),
     }
+    if spec.median_as_feats:
+        pair["b_medh"] = ea.get(pair_add, "b_medh")
 
     # merged record (the reference's scratch merge, struct_merge_bc.hxx:
     # 18-35): additive = sum, min/max = elementwise (+-inf empty fills

@@ -243,8 +243,10 @@ class TreeShardPlan:
         la.add("r_cnt", (spec.n_r,))
         la.add("r_sum", (spec.n_r,))
         la.add("r_sumsq", (spec.n_r,))
-        la.add("r_hist", (spec.n_r, max(spec.r_bins, 1)))
-        la.add("rl_hist", (spec.n_rl, max(spec.rl_bins, 1)))
+        la.add("r_hist", (spec.n_r, max(spec.r_bins_max, 1)))
+        la.add("rl_hist", (spec.n_rl, max(spec.rl_bins_max, 1)))
+        if spec.median_as_feats:
+            la.add("r_medh", (spec.n_r, spec.r_med_v))
         self.leaf_add_pack = la
         lm = FieldPack()
         lm.add("bbox_lo", (ndim,))
@@ -273,7 +275,13 @@ class TreeShardPlan:
             np.asarray(img.image, np.float64).ravel()[pix], rid, R,
             img.hist_bins, img.hist_range)["hist"] for img in cfg.rl_images]
 
-        leaf_add = la.pack(R, {
+        def _pad_hists(hists, k, width):
+            out = np.zeros((R, k, width))
+            for i, h in enumerate(hists):
+                out[:, i, : h.shape[1]] = h
+            return out
+
+        leaf_fields = {
             "area": area, "border": border,
             "r_cnt": np.stack([s["cnt"] for s in r_st], 1) if r_st else
             np.zeros((R, 0)),
@@ -281,11 +289,21 @@ class TreeShardPlan:
             np.zeros((R, 0)),
             "r_sumsq": np.stack([s["sumsq"] for s in r_st], 1) if r_st else
             np.zeros((R, 0)),
-            "r_hist": np.stack([s["hist"] for s in r_st], 1) if r_st else
-            np.zeros((R, 0, max(spec.r_bins, 1))),
-            "rl_hist": np.stack(rl_h, 1) if rl_h else
-            np.zeros((R, 0, max(spec.rl_bins, 1))),
-        })
+            "r_hist": _pad_hists([s["hist"] for s in r_st], spec.n_r,
+                                 max(spec.r_bins_max, 1)),
+            "rl_hist": _pad_hists(rl_h, spec.n_rl,
+                                  max(spec.rl_bins_max, 1)),
+        }
+        if spec.median_as_feats:
+            from ..features.device import counting_hist
+
+            r_medh = np.zeros((R, spec.n_r, spec.r_med_v))
+            for i, img in enumerate(cfg.r_images):
+                v = np.asarray(img.image, np.float64).ravel()[pix]
+                r_medh[:, i, : len(spec.r_med_vals[i])] = counting_hist(
+                    v, rid, R, spec.r_med_vals[i], len(spec.r_med_vals[i]))
+            leaf_fields["r_medh"] = r_medh
+        leaf_add = la.pack(R, leaf_fields)
         leaf_min = lm.pack(R, {
             "bbox_lo": bbox_lo,
             "r_min": np.stack([s["min"] for s in r_st], 1) if r_st else
@@ -317,10 +335,15 @@ class TreeShardPlan:
         da.add("b_cnt", (spec.n_b,))
         da.add("b_sum", (spec.n_b,))
         da.add("b_sumsq", (spec.n_b,))
-        da.add("b_hist", (spec.n_b, max(spec.b_bins, 1)))
+        da.add("b_hist", (spec.n_b, max(spec.b_bins_max, 1)))
+        if spec.median_as_feats:
+            da.add("b_medh", (spec.n_b, spec.b_med_v))
         self.dp_add_pack = da
 
-        dp_add = da.pack(Ed, {
+        bh = np.zeros((Ed, spec.n_b, max(spec.b_bins_max, 1)))
+        for i, s in enumerate(dp_b):
+            bh[:, i, : s["hist"].shape[1]] = s["hist"]
+        dp_fields = {
             "cnt": dp_cnt, "vp": dp_vp,
             "b_cnt": np.stack([s["cnt"] for s in dp_b], 1) if dp_b else
             np.zeros((Ed, 0)),
@@ -328,9 +351,19 @@ class TreeShardPlan:
             np.zeros((Ed, 0)),
             "b_sumsq": np.stack([s["sumsq"] for s in dp_b], 1) if dp_b else
             np.zeros((Ed, 0)),
-            "b_hist": np.stack([s["hist"] for s in dp_b], 1) if dp_b else
-            np.zeros((Ed, 0, max(spec.b_bins, 1))),
-        })
+            "b_hist": bh,
+        }
+        if spec.median_as_feats:
+            from ..features.device import counting_hist
+
+            b_medh = np.zeros((Ed, spec.n_b, spec.b_med_v))
+            for i, img in enumerate(cfg.b_images):
+                v = np.asarray(img.image, np.float64).ravel()[rag.dir_pixels]
+                b_medh[:, i, : len(spec.b_med_vals[i])] = counting_hist(
+                    v, dpid, Ed, spec.b_med_vals[i],
+                    len(spec.b_med_vals[i]))
+            dp_fields["b_medh"] = b_medh
+        dp_add = da.pack(Ed, dp_fields)
         # min/max rows: fill where the dp has no pixels of that image
         def _mm(key, fill):
             if not dp_b:
@@ -578,6 +611,9 @@ def sharded_level_features(mesh, plan: TreeShardPlan, l: int,
             "b_min": bd_min,
             "b_max": bd_max,
         }
+        if spec.median_as_feats:
+            rec["r_medh"] = la.unpack(add, "r_medh")
+            rec["b_medh"] = da.unpack(bd_add, "b_medh")
         return rec
 
     in_spec = P(EDGE_AXIS)
@@ -703,6 +739,8 @@ def sharded_level_features(mesh, plan: TreeShardPlan, l: int,
             "b_min": pair_min[ip],
             "b_max": pair_max[ip],
         }
+        if spec.median_as_feats:
+            pair["b_medh"] = da.unpack(pair_add[ip], "b_medh")
         feats = bc_features_dev(rec0, rec1, rec2, pair, spec)
         if scorer is not None:
             scores = scorer(feats.astype(jnp.float32), consts)

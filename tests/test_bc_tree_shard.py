@@ -73,3 +73,37 @@ def test_sharded_levels_match_host(case):
         checked_levels += 1
         checked_rows += len(order_idx)
     assert checked_levels == 3 and checked_rows >= 3
+
+
+def test_sharded_levels_median_per_image_bins(case):
+    """Widest host-accepted config through the sharded path: exact device
+    medians + per-image hist bins/ranges."""
+    from glia_tpu.features.config import HistImage
+
+    rag, cfg0, order, _, _ = case
+    pb = np.asarray(cfg0.pb_image)
+    inten = np.asarray(cfg0.r_images[1].image)
+    q = lambda a, k: np.round(a * k) / k
+    cfg = FeatureConfig(
+        pb_image=pb,
+        r_images=[HistImage(q(pb, 32), 6, (0.0, 1.0), "pb"),
+                  HistImage(q(inten, 24), 10, (0.0, 1.0), "in")],
+        rl_images=[],
+        b_images=[HistImage(q(inten, 24), 9, (0.0, 1.0), "in")],
+        boundary_thresholds=[0.3, 0.6],
+        normalizing_area=4.0, normalizing_length=2.0,
+        histogram_as_feats=True, median_as_feats=True,
+    )
+    from glia_tpu.features import TreeFeatures
+    from glia_tpu.parallel.partition import partition_rag
+
+    host = TreeFeatures(rag, order, cfg, saliencies=None)
+    want = host.bc_features()
+    part = partition_rag(rag, 8)
+    plan = TreeShardPlan(rag, order, cfg, part)
+    mesh = make_mesh(8)
+    levels = sorted(set(plan.merge_level.tolist()))
+    for l in [levels[0], levels[-1]]:
+        _, feats, _, order_idx = sharded_level_features(mesh, plan, l)
+        np.testing.assert_allclose(feats, want[order_idx], rtol=1e-9,
+                                   atol=1e-9)

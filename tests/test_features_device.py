@@ -96,14 +96,23 @@ def _stack_records(recs, cfg, ndim=2):
         "r_max": [], "r_hist": [], "rl_hist": [], "b_cnt": [], "b_sum": [],
         "b_sumsq": [], "b_min": [], "b_max": [], "b_hist": [],
     }
+    def _pad(hists):
+        w = max((len(h) for h in hists), default=1)
+        out = np.zeros((max(len(hists), 0), w))
+        for i, h in enumerate(hists):
+            out[i, :len(h)] = h
+        return out
+
     for rec in recs:
         for k in ("area", "border", "bd", "bbox_lo", "bbox_hi", "vp"):
             out[k].append(rec[k])
         for j, pre in ((0, "cnt"), (1, "sum"), (2, "sumsq"), (3, "min"),
-                       (4, "max"), (5, "hist")):
+                       (4, "max")):
             out[f"r_{pre}"].append([rec["r"][i][j] for i in range(n_r)])
             out[f"b_{pre}"].append([rec["b"][i][j] for i in range(n_b)])
-        out["rl_hist"].append([rec["rl"][i] for i in range(n_rl)])
+        out["r_hist"].append(_pad([rec["r"][i][5] for i in range(n_r)]))
+        out["b_hist"].append(_pad([rec["b"][i][5] for i in range(n_b)]))
+        out["rl_hist"].append(_pad([rec["rl"][i] for i in range(n_rl)]))
     return {k: jnp.asarray(np.asarray(v, dtype=np.float64))
             for k, v in out.items()}
 
@@ -114,12 +123,20 @@ def _stack_pairs(pairs, cfg):
     n_b = len(cfg.b_images)
     out = {"cnt": [], "vp": [], "b_cnt": [], "b_sum": [], "b_sumsq": [],
            "b_min": [], "b_max": [], "b_hist": []}
+    def _pad(hists):
+        w = max((len(h) for h in hists), default=1)
+        arr = np.zeros((len(hists), w))
+        for i, h in enumerate(hists):
+            arr[i, :len(h)] = h
+        return arr
+
     for p in pairs:
         out["cnt"].append(p["cnt"])
         out["vp"].append(p["vp"])
         for j, pre in ((0, "cnt"), (1, "sum"), (2, "sumsq"), (3, "min"),
-                       (4, "max"), (5, "hist")):
+                       (4, "max")):
             out[f"b_{pre}"].append([p["b"][i][j] for i in range(n_b)])
+        out["b_hist"].append(_pad([p["b"][i][5] for i in range(n_b)]))
     return {k: jnp.asarray(np.asarray(v, dtype=np.float64))
             for k, v in out.items()}
 
@@ -150,6 +167,170 @@ def test_region_features_device_matches_host(rng):
     host = np.stack([region_vector(r, cfg, 2) for r in recs])
     dev = region_features_dev(_stack_records(recs, cfg), spec)
     np.testing.assert_allclose(np.asarray(dev), host, rtol=1e-12, atol=1e-12)
+
+
+def test_per_image_bins_and_ranges(rng):
+    """Independent --rbi/--rbb/--rbl/--rbu quadruples per feature image
+    (main_bc_feat.cxx:125-186): device serialization must match the host
+    with differing bins AND ranges across images."""
+    shape = (16, 16)
+    imgs = [HistImage(rng.random(shape), 6, (0.0, 1.0), "a"),
+            HistImage(rng.random(shape) * 2, 11, (0.0, 2.0), "b")]
+    cfg = FeatureConfig(
+        pb_image=rng.random(shape),
+        r_images=imgs,
+        rl_images=[HistImage(rng.integers(0, 4, shape).astype(float),
+                             4, (0.0, 4.0), "lab"),
+                   HistImage(rng.integers(0, 8, shape).astype(float),
+                             9, (0.0, 8.0), "lab2")],
+        b_images=imgs[::-1],
+        boundary_thresholds=[0.2, 0.5],
+        normalizing_area=5.0, normalizing_length=2.0,
+        histogram_as_feats=True,
+    )
+    spec = DeviceFeatureSpec.from_config(cfg, ndim=2)
+    assert spec.r_bins == (6, 11) and spec.b_bins == (11, 6)
+    N = 10
+    r0 = [_random_host_record(rng, cfg, empty_b=(i == 2)) for i in range(N)]
+    r1 = [_random_host_record(rng, cfg) for i in range(N)]
+    r2 = [_random_host_record(rng, cfg) for i in range(N)]
+    pr = [_random_pair(rng, cfg, empty=(i == 4)) for i in range(N)]
+    host = np.stack([bc_vector(r0[i], r1[i], r2[i], pr[i], cfg, 2)
+                     for i in range(N)])
+    dev = bc_features_dev(_stack_records(r0, cfg), _stack_records(r1, cfg),
+                          _stack_records(r2, cfg), _stack_pairs(pr, cfg),
+                          spec)
+    assert dev.shape == host.shape
+    np.testing.assert_allclose(np.asarray(dev), host, rtol=1e-12, atol=1e-12)
+
+
+def test_median_as_feats_device(rng):
+    """Exact device medians (GLIA_HMT_MEDIAN_FEAT, feat.hxx:674-811) from
+    counting histograms over the images' distinct values."""
+    from glia_tpu.features.device import counting_hist
+
+    shape = (16, 16)
+    # quantized alphabets (exact mode)
+    alpha0 = np.linspace(0.0, 1.0, 17)
+    alpha1 = np.linspace(0.0, 1.0, 29)
+    imgs = [HistImage(rng.choice(alpha0, shape), 8, (0.0, 1.0), "a"),
+            HistImage(rng.choice(alpha1, shape), 5, (0.0, 1.0), "b")]
+    cfg = FeatureConfig(
+        pb_image=rng.random(shape),
+        r_images=imgs, rl_images=[], b_images=imgs,
+        boundary_thresholds=[0.5],
+        normalizing_area=3.0, normalizing_length=2.0,
+        median_as_feats=True,
+    )
+    spec = DeviceFeatureSpec.from_config(cfg, ndim=2)
+    assert spec.median_as_feats and len(spec.r_med_vals) == 2
+
+    N = 10
+    recs0, recs1, recs2, prs = [], [], [], []
+    medh_r = [[], [], [], []]   # r_medh for r0/r1/r2, b_medh handled below
+    all_recs = (recs0, recs1, recs2)
+    rng2 = np.random.default_rng(3)
+
+    def _rand_rec():
+        rec = _random_host_record(rng, cfg)
+        # replace the r/b pixel stats with multiset-backed ones
+        r_medh = np.zeros((spec.n_r, spec.r_med_v))
+        b_medh = np.zeros((spec.n_b, spec.b_med_v))
+        for i, img in enumerate(cfg.r_images):
+            vals = np.asarray(spec.r_med_vals[i])
+            v = rng2.choice(vals, int(rec["area"]))
+            h = np.histogram(v, img.hist_bins, img.hist_range)[0]
+            rec["r"][i] = [float(len(v)), float(v.sum()),
+                           float((v * v).sum()), float(v.min()),
+                           float(v.max()), h.astype(float), [v]]
+            r_medh[i, :len(vals)] = counting_hist(
+                v, np.zeros(len(v), np.int64), 1, vals, len(vals))[0]
+        for i, img in enumerate(cfg.b_images):
+            vals = np.asarray(spec.b_med_vals[i])
+            n = int(rec["bd"])
+            v = rng2.choice(vals, n) if n else np.zeros(0)
+            if n:
+                h = np.histogram(v, img.hist_bins, img.hist_range)[0]
+                rec["b"][i] = [float(n), float(v.sum()),
+                               float((v * v).sum()), float(v.min()),
+                               float(v.max()), h.astype(float), [v]]
+                b_medh[i, :len(vals)] = counting_hist(
+                    v, np.zeros(n, np.int64), 1, vals, len(vals))[0]
+            else:
+                rec["b"][i] = [0.0, 0.0, 0.0, np.inf, -np.inf,
+                               np.zeros(img.hist_bins), []]
+        return rec, r_medh, b_medh
+
+    dev_extra = {k: {"r_medh": [], "b_medh": []} for k in range(3)}
+    pair_extra = []
+    for i in range(N):
+        for k in range(3):
+            rec, rh, bh = _rand_rec()
+            all_recs[k].append(rec)
+            dev_extra[k]["r_medh"].append(rh)
+            dev_extra[k]["b_medh"].append(bh)
+        pr = _random_pair(rng, cfg, empty=(i == 3))
+        bmh = np.zeros((spec.n_b, spec.b_med_v))
+        for bi, img in enumerate(cfg.b_images):
+            vals = np.asarray(spec.b_med_vals[bi])
+            n = int(pr["cnt"])
+            v = rng2.choice(vals, n) if n else np.zeros(0)
+            if n:
+                h = np.histogram(v, img.hist_bins, img.hist_range)[0]
+                pr["b"][bi] = (float(n), float(v.sum()),
+                               float((v * v).sum()), float(v.min()),
+                               float(v.max()), h.astype(float), [v])
+                bmh[bi, :len(vals)] = counting_hist(
+                    v, np.zeros(n, np.int64), 1, vals, len(vals))[0]
+            else:
+                pr["b"][bi] = (0.0, 0.0, 0.0, np.inf, -np.inf,
+                               np.zeros(img.hist_bins), [])
+        prs.append(pr)
+        pair_extra.append(bmh)
+
+    host = np.stack([bc_vector(recs0[i], recs1[i], recs2[i], prs[i], cfg, 2)
+                     for i in range(N)])
+    import jax.numpy as jnp
+
+    stacks = []
+    for k in range(3):
+        sr = _stack_records(all_recs[k], cfg)
+        sr["r_medh"] = jnp.asarray(np.stack(dev_extra[k]["r_medh"]))
+        sr["b_medh"] = jnp.asarray(np.stack(dev_extra[k]["b_medh"]))
+        stacks.append(sr)
+    sp = _stack_pairs(prs, cfg)
+    sp["b_medh"] = jnp.asarray(np.stack(pair_extra))
+    dev = bc_features_dev(stacks[0], stacks[1], stacks[2], sp, spec)
+    assert dev.shape == host.shape
+    np.testing.assert_allclose(np.asarray(dev), host, rtol=1e-12, atol=1e-12)
+
+
+def test_median_sketch_mode(rng):
+    """Images with more distinct values than the cap fall back to a
+    uniform value grid; the device median lands within one grid step of
+    the true median."""
+    from glia_tpu.features.device import counting_hist, med_index
+
+    v = rng.random(1000)  # 1000 distinct values, cap 64
+    vals = np.unique(v)
+    tab = _med_tables_single(v, cap=64)
+    h = counting_hist(v, np.zeros(len(v), np.int64), 1, tab, len(tab))[0]
+    from glia_tpu.features.device import _median_from_counts
+
+    med = float(np.asarray(_median_from_counts(
+        np.asarray(h)[None, :], np.asarray(tab))[0]))
+    true = float(np.partition(v, len(v) // 2)[len(v) // 2])
+    step = tab[1] - tab[0]
+    assert abs(med - true) <= step + 1e-12
+
+
+def _med_tables_single(v, cap):
+    from glia_tpu.features.device import _med_tables
+
+    class _I:
+        image = v
+
+    return np.asarray(_med_tables([_I()], cap)[0])
 
 
 def test_feature_dims_match_config(rng):

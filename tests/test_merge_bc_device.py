@@ -115,6 +115,58 @@ def test_device_trajectory_probabilities_match_host(case):
     assert len(order) == len(h_order)
 
 
+def test_device_engine_median_and_per_image_bins(case):
+    """Engine parity under the widest feature config the host accepts:
+    median_as_feats (exact device medians via counting hists over the
+    quantized images' distinct values) + independent hist bins/ranges per
+    image (main_bc_feat.cxx:125-186 quadruples)."""
+    from glia_tpu.features.config import HistImage
+
+    data, seg, rag, _ = case
+    # quantize so device medians are exact (<=33 distinct values)
+    q = lambda a, k: np.round(np.asarray(a) * k) / k
+    pb_q = q(data["pb"], 32)
+    in_q = q(data["intensity"], 24)
+    cfg = FeatureConfig(
+        pb_image=data["pb"],
+        r_images=[HistImage(pb_q, 6, (0.0, 1.0), "pb"),
+                  HistImage(in_q, 10, (0.0, 1.0), "in")],
+        rl_images=[],
+        b_images=[HistImage(in_q, 9, (0.0, 1.0), "in"),
+                  HistImage(pb_q, 5, (0.0, 1.0), "pb")],
+        boundary_thresholds=[0.3, 0.6],
+        normalizing_area=4.0, normalizing_length=2.0,
+        histogram_as_feats=True, median_as_feats=True,
+    )
+    state_np, static = build_state(rag, cfg)
+    import jax.numpy as jnp
+
+    state = {k: jnp.asarray(v) for k, v in state_np.items()}
+    feats, valid = candidate_features(state, static)
+    feats = np.asarray(feats)
+    host = DynamicRagState(rag, cfg)
+    eu = np.asarray(state_np["eu"])
+    ev = np.asarray(state_np["ev"])
+    for e in np.nonzero(np.asarray(valid))[0][:40]:
+        k0 = int(rag.keys[eu[e]])
+        k1 = int(rag.keys[ev[e]])
+        hf = host.candidate_features(k0, k1)
+        np.testing.assert_allclose(feats[e], hf, rtol=1e-9, atol=1e-9,
+                                   err_msg=f"edge ({k0},{k1})")
+
+    # trajectory parity: replay device merges through the host state
+    rng = np.random.default_rng(11)
+    W = rng.normal(0, 0.05, static.feat_dim + 1)
+    order, probs = merge_order_bc_device(rag, cfg, _linear_predict_jax(W))
+    assert len(order) > 0
+    pred = _linear_predict_np(W)
+    for i, (c0, c1, c2) in enumerate(order[:60]):
+        hf = host.candidate_features(int(c0), int(c1))
+        np.testing.assert_allclose(probs[i], float(pred(hf)[0]),
+                                   rtol=1e-6, atol=1e-9)
+        host.merge(int(c0), int(c1), int(c2))
+
+
 def test_device_vs_host_full_merge_structure(case):
     """Both engines fully merge each table-connected component; the final
     partitions agree."""
