@@ -1,17 +1,23 @@
-"""Benchmark: RAG aggregation edges/s/chip (BASELINE.json headline metric).
+"""Headline benchmark: RAG greedy-merge edges/s/chip (BASELINE.json metric).
 
-Pipeline measured on-device: per-edge boundary-pixel segment stats ->
-edge->region scatter aggregation -> region context gather -> MLP2 merge
-scoring, jitted as one XLA program (glia_tpu.parallel.train.edge_forward).
-This is the framework's hot path: one "edge" processed = one boundary
-scored against its region context, the unit the reference's serial
-boundary-table loop processes one at a time
-(reference: code/type/boundary_table.hxx:122-167).
+What is measured ON DEVICE: the fused batched merge engine
+(glia_tpu.graph.merge_device.merge_batched_device, mode="fused") producing
+the COMPLETE merge order of a real watershed RAG -- the framework's
+equivalent of the reference's serial greedy hot loop (one pop+update of
+code/type/boundary_table.hxx:122-167 per merge, driver
+code/util/struct_merge.hxx:13-33).  One "edge" processed = one boundary
+retired (popped or rekeyed), identical accounting on both sides:
+edges/s = (E + n_merges) / wall.
 
 vs_baseline = device edges/s divided by the host-side exact serial greedy
-merge engine's edges/s on the same RAG (the reference's algorithm, our C++
-implementation -- the reference itself does not compile here: it needs ITK;
-SURVEY.md section 6 records that it also publishes no numbers).
+engine (our C++ implementation of the reference's algorithm; the reference
+itself does not compile here -- it needs ITK -- and publishes no numbers,
+SURVEY.md section 6).  Same RAG, same pooled-mean saliency policy.
+
+Parity: the device order is REPLAYED into a segmentation via the
+monotonized threshold cut and scored (VI vs truth) against the serial
+engine's cut at the same threshold; the delta is printed to stderr and
+regression-tested in tests/test_merge_device.py.
 
 Prints exactly ONE JSON line on stdout; diagnostics go to stderr.
 """
@@ -23,6 +29,15 @@ import time
 
 import numpy as np
 
+# persistent XLA compilation cache: repeat runs skip the one-time compile
+# of the fused merge program (~1-3 min through the remote TPU tunnel)
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+
+SIDE = int(os.environ.get("GLIA_BENCH_SIDE", "2048"))
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -32,89 +47,71 @@ def main():
     import scipy.ndimage as ndi
 
     from glia_tpu.data.synthetic import synthetic_em_slice
+    from glia_tpu.graph.merge_device import (
+        edge_mean_arrays, merge_batched_device, order_to_keys,
+        threshold_cut)
     from glia_tpu.graph.rag import build_rag
     from glia_tpu.native import greedy_merge_native, watershed_native
 
-    # ---- build four 512x512 ISBI-like slices (one RAG each) ----
-    rags, pbs = [], []
+    # ---- build one ISBI-like slice and its watershed RAG ----
     t0 = time.time()
-    for si in range(4):
-        data = synthetic_em_slice(shape=(512, 512), n_cells=900,
-                                  seed=7 + si, blur=1.2, noise=0.12)
-        pb = data["pb"]
-        seg = watershed_native(ndi.gaussian_filter(pb, 1.0), level=0.004)
-        rags.append(build_rag(seg, contour_only=False))
-        pbs.append(pb)
-    n_regions = sum(r.n_regions for r in rags)
-    n_edges = sum(r.n_edges for r in rags)
-    log(f"setup: {n_regions} regions, {n_edges} edges over {len(rags)} "
-        f"slices ({time.time()-t0:.2f}s)")
-    rag, pb = rags[0], pbs[0]
+    n_cells = (SIDE // 14) ** 2
+    data = synthetic_em_slice(shape=(SIDE, SIDE), n_cells=n_cells, seed=11,
+                              blur=1.2, noise=0.12)
+    pb = data["pb"]
+    seg = watershed_native(ndi.gaussian_filter(pb, 1.0), level=0.004)
+    rag = build_rag(seg, contour_only=False)
+    E, R = rag.n_edges, rag.n_regions
+    log(f"setup: {SIDE}x{SIDE}, {R} regions, {E} edges "
+        f"({time.time()-t0:.1f}s)")
 
     # ---- host baseline: exact serial greedy merge (reference hot loop) ----
     t0 = time.time()
-    n_merges = 0
-    for r, p in zip(rags, pbs):
-        order, sals = greedy_merge_native(r, p, policy="median")
-        n_merges += len(order)
+    order_h, sal_h = greedy_merge_native(rag, pb, policy="mean")
     host_dt = time.time() - t0
-    # edges/s for the serial loop: edges retired (popped+rekeyed) per sec.
-    # Each merge retires >= 1 edge; total edge events ~ E + merges.
-    host_edges_s = (n_edges + n_merges) / host_dt
-    log(f"host exact greedy: {n_merges} merges in {host_dt:.3f}s "
-        f"-> {host_edges_s:,.0f} edges/s")
+    host_edges_s = (E + len(order_h)) / host_dt
+    log(f"host exact serial greedy: {len(order_h)} merges in {host_dt:.3f}s"
+        f" -> {host_edges_s:,.0f} edges/s")
 
-    # ---- device: jitted edge scoring over the full RAG ----
+    # ---- device: fused batched merge (full order, one XLA program) ----
     import jax
-    import jax.numpy as jnp
 
-    from glia_tpu.models.mlp import mlp2_init
-    from glia_tpu.parallel.train import MLP_DIMS, edge_forward
-
-    dev = jax.devices()[0]
-    log(f"device: {dev}")
-
-    # pack all slices' edges into one batch (regions offset per slice)
-    from glia_tpu.ops.pack import pack_edge_pixels
-
-    K = 32
-    px_l, mask_l, u_l, v_l = [], [], [], []
-    r_off = 0
-    for r, p in zip(rags, pbs):
-        ui, vi, px_i, mask_i = pack_edge_pixels(r, p, K)
-        u_l.append(ui + r_off)
-        v_l.append(vi + r_off)
-        px_l.append(px_i)
-        mask_l.append(mask_i)
-        r_off += r.n_regions
-    u = np.concatenate(u_l)
-    v = np.concatenate(v_l)
-    px = np.concatenate(px_l)
-    mask = np.concatenate(mask_l)
-    E = len(u)
-    valid = np.ones(E, np.float32)
-    R = r_off
-    D, N1, N2 = MLP_DIMS
-    w = jnp.asarray(mlp2_init(D, N1, N2, 0), dtype=jnp.float32)
-
-    fn = jax.jit(lambda w, u, v, px, m, val: edge_forward(
-        w, u, v, px, m, val, R, axis_name=None))
-    args = tuple(jax.device_put(jnp.asarray(x), dev)
-                 for x in (u, v, px, mask, valid))
-    out = fn(w, *args)
-    out.block_until_ready()  # compile
-    n_iter = 50
+    log(f"device: {jax.devices()[0]}")
+    u, v, s, c = edge_mean_arrays(rag, pb)
+    stats = {}
     t0 = time.time()
-    for _ in range(n_iter):
-        out = fn(w, *args)
-    out.block_until_ready()
-    dev_dt = (time.time() - t0) / n_iter
-    dev_edges_s = E / dev_dt
-    log(f"device edge scoring: {E} edges in {dev_dt*1e3:.3f}ms/iter "
-        f"-> {dev_edges_s:,.0f} edges/s/chip")
+    order_b, sal_b, n_m = merge_batched_device(u, v, s, c, R, stats=stats)
+    compile_dt = time.time() - t0
+    log(f"first call (compile+run): {compile_dt:.1f}s, {n_m} merges, "
+        f"{stats['n_supersteps']} supersteps")
+    run_dt = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        order_b, sal_b, n_m = merge_batched_device(u, v, s, c, R,
+                                                   stats=stats)
+        run_dt = min(run_dt, time.time() - t0)
+    dev_edges_s = (E + n_m) / run_dt
+    log(f"device fused merge: {n_m} merges in {run_dt:.3f}s -> "
+        f"{dev_edges_s:,.0f} edges/s/chip "
+        f"({dev_edges_s/host_edges_s:.2f}x host serial)")
+
+    # ---- parity replay: threshold cut -> segmentation -> VI ----
+    from glia_tpu.graph.merge import apply_merge_order
+    from glia_tpu.metrics import eval_vi
+
+    k = R - n_cells
+    tau = -sal_h[k - 1]
+    okeys = order_to_keys(order_b, n_m, rag)
+    mask = threshold_cut(okeys, -np.asarray(sal_b)[:n_m], tau)
+    seg_b = apply_merge_order(seg, okeys[mask])
+    seg_h = apply_merge_order(seg, order_h, threshold_index=k)
+    _, _, vi_b = eval_vi(seg_b, data["truth"])
+    _, _, vi_h = eval_vi(seg_h, data["truth"])
+    log(f"threshold-cut parity: VI serial {vi_h:.4f} vs device {vi_b:.4f} "
+        f"(delta {vi_b-vi_h:+.4f})")
 
     result = {
-        "metric": "rag_aggregation_edges_per_s_per_chip",
+        "metric": "rag_merge_edges_per_s_per_chip",
         "value": round(dev_edges_s, 1),
         "unit": "edges/s",
         "vs_baseline": round(dev_edges_s / host_edges_s, 3),

@@ -61,14 +61,20 @@ def cmd_pre_merge(a):
 def cmd_merge_order_pb(a):
     from ..graph.rag import build_rag
     from ..io.text import write_merge_order, write_vector
-    from ..native import greedy_merge_native
 
     seg = _read_label(a.segImage)
     pb = _read_real(a.pbImage)
     mask = _read_label(a.maskImage) if a.maskImage else None
     rag = build_rag(seg, mask=mask,
                     contour_only=(a.type != "median_minsize"))
-    order, sals = greedy_merge_native(rag, pb, policy=a.type)
+    if getattr(a, "engine", "host") == "device":
+        from ..graph.merge_device import greedy_merge_device
+
+        order, sals = greedy_merge_device(rag, pb, policy=a.type)
+    else:
+        from ..native import greedy_merge_native
+
+        order, sals = greedy_merge_native(rag, pb, policy=a.type)
     if a.mergeOrder:
         write_merge_order(a.mergeOrder, order)
     if a.saliency:
@@ -215,14 +221,24 @@ def cmd_merge_order_bc(a):
     model = ForestModel.load(a.model)
     rag = build_rag(seg, contour_only=False)
 
-    def predict(f):
-        return float(predict_label_fraction(model, f[None, :], label=-1)[0])
+    if getattr(a, "engine", "host") == "device":
+        from ..graph.merge_bc_device import merge_order_bc_device
+        from ..models.forest import make_label_scorer
 
-    def predict_batch(F):
-        return predict_label_fraction(model, F, label=-1)
+        predict_dev, consts = make_label_scorer(model, label=-1,
+                                                embed=True)
+        order, sals = merge_order_bc_device(rag, cfg, predict_dev,
+                                            predict_consts=consts)
+    else:
+        def predict(f):
+            return float(
+                predict_label_fraction(model, f[None, :], label=-1)[0])
 
-    order, sals = greedy_merge_bc(rag, cfg, predict,
-                                  predict_batch=predict_batch)
+        def predict_batch(F):
+            return predict_label_fraction(model, F, label=-1)
+
+        order, sals = greedy_merge_bc(rag, cfg, predict,
+                                      predict_batch=predict_batch)
     if a.mergeOrder:
         write_merge_order(a.mergeOrder, order)
     if a.saliency:
@@ -538,6 +554,9 @@ def build_parser():
     q.add_argument("-m", "--maskImage")
     q.add_argument("-o", "--mergeOrder")
     q.add_argument("-y", "--saliency")
+    q.add_argument("--engine", default="host", choices=["host", "device"],
+                   help="host: exact serial C++ loop; device: fused "
+                        "batched XLA merge on the accelerator")
     q.set_defaults(fn=cmd_merge_order_pb)
 
     q = sub.add_parser("bc_feat", help="boundary classifier features")
@@ -624,6 +643,10 @@ def build_parser():
     q.add_argument("--bt", type=float, nargs="+", default=[0.2, 0.5, 0.8])
     q.add_argument("-o", "--mergeOrder")
     q.add_argument("-y", "--saliency")
+    q.add_argument("--engine", default="host", choices=["host", "device"],
+                   help="host: serial classifier-in-the-loop engine; "
+                        "device: batched superstep engine + on-device "
+                        "feature assembly and forest scoring")
     q.set_defaults(fn=cmd_merge_order_bc)
 
     q = sub.add_parser("train_sshmt", help="semi-supervised training")

@@ -637,6 +637,31 @@ def threshold_cut(order, stats, tau):
     return mono <= tau
 
 
+def greedy_merge_device(rag, pb_image, policy="mean", n_bins=32,
+                        mode="fused", dmax=2, stats=None):
+    """User-surface device merge: same (order_keys, saliencies) contract as
+    ``glia_tpu.native.greedy_merge_native`` but run as one batched XLA
+    program on the accelerator (the TPU counterpart of the reference's
+    serial ``genMergeOrderGreedy``, util/struct_merge.hxx:13-33).
+
+    policy: "mean" (pooled boundary mean, struct_merge.hxx:38-85) or
+    "median" (approx-median over an additive n_bins histogram sketch,
+    struct_merge.hxx:90-136 semantics to bin resolution).
+    Returns (order [n, 3] int64 label keys, saliencies [n]).
+    """
+    if policy == "mean":
+        u, v, s, c = edge_mean_arrays(rag, pb_image)
+        order, sal, n_m = merge_batched_device(
+            u, v, s, c, rag.n_regions, mode=mode, dmax=dmax, stats=stats)
+    elif policy == "median":
+        u, v, h = edge_hist_arrays(rag, pb_image, n_bins=n_bins)
+        order, sal, n_m = merge_batched_device_hist(
+            u, v, h, rag.n_regions, mode=mode, dmax=dmax, stats=stats)
+    else:
+        raise ValueError(f"device policy {policy!r} (mean|median)")
+    return order_to_keys(order, n_m, rag), np.asarray(sal)[:n_m]
+
+
 def order_to_keys(order, n_merges, rag):
     """Convert dense-index order rows to the RAG's label key space."""
     order = np.asarray(order)[:n_merges]

@@ -252,14 +252,51 @@ def hmt_train_sshmt(labeled_slices, unlabeled_slices, policy="median",
 
 
 def hmt_segment(pb, intensity, model: HmtModel, watershed_level=0.05,
-                pre_merge_size=30, mode="greedy", backend="np"):
+                pre_merge_size=30, mode="greedy", backend="np",
+                engine="host"):
     """Inference: watershed -> pre_merge -> merge order -> merge probs from
-    the classifier -> tree resolution -> final label image."""
+    the classifier -> tree resolution -> final label image.
+
+    engine="host" runs the exact serial C++ merge loop + host feature
+    extraction; engine="device" runs the batched fused merge engine and,
+    for forest models, the on-device classifier-in-the-loop pipeline
+    (merge_bc_device: device feature assembly + forest scoring), so the
+    whole hot path executes as XLA programs on the accelerator."""
     seg = watershed(pb, watershed_level)
     if pre_merge_size:
         seg = pre_merge(seg, pb, (pre_merge_size,))
     rag = build_rag(seg, contour_only=False)
-    order, sals = greedy_merge_native(rag, pb, policy=model.policy)
+    if engine == "device" and model.kind == "rf":
+        from .features.config import FeatureConfig
+        from .graph.merge_bc_device import merge_order_bc_device
+        from .models.forest import make_label_scorer
+
+        cfg = FeatureConfig.standard(
+            pb, intensity, n_bins=model.n_bins,
+            boundary_thresholds=model.boundary_thresholds)
+        predict_dev, consts = make_label_scorer(model.forest, label=-1,
+                                                embed=True)
+        order, probs = merge_order_bc_device(rag, cfg, predict_dev,
+                                             predict_consts=consts)
+        tree = build_tree(order)
+        if mode == "greedy":
+            picks = resolve_tree_greedy(tree, node_potentials(tree, probs))
+        elif mode == "ccm":
+            picks = segment_ccm_picks(tree, probs)
+        else:
+            raise ValueError(mode)
+        return final_segmentation(seg, tree, picks), {
+            "seg0": seg, "order": order, "probs": probs,
+            "n_picks": len(picks)}
+    if engine == "device":
+        from .graph.merge_device import greedy_merge_device
+
+        policy = "mean" if model.policy == "mean" else "median"
+        order, sals = greedy_merge_device(rag, pb, policy=policy)
+    elif engine == "host":
+        order, sals = greedy_merge_native(rag, pb, policy=model.policy)
+    else:
+        raise ValueError(engine)
     feats = _features_for(seg, pb, intensity, model, order, sals)
     # merge probability = vote fraction for label -1 (BC_LABEL_MERGE)
     probs = model.predict_merge_prob(feats, backend=backend)
