@@ -555,7 +555,7 @@ def _mean_stat(payload):
 
 def merge_batched_device(u, v, s, c, n_regions, max_supersteps=256,
                          dtype=None, select_rounds=1, stats=None,
-                         mode="fused", dmax=2):
+                         mode="fused", dmax=4):
     """Batched superstep merge, pooled-mean policy (speed mode).
 
     Per-edge data (s, c) = (sum, count) of boundary pb; statistic = s/c
@@ -584,7 +584,7 @@ _HIST_STATS = {}
 
 def merge_batched_device_hist(u, v, h, n_regions, max_supersteps=256,
                               lo=0.0, hi=1.0, dtype=None, select_rounds=1,
-                              stats=None, mode="fused", dmax=2):
+                              stats=None, mode="fused", dmax=4):
     """Batched superstep merge on histogram sketches (approx-median policy,
     SURVEY hard part #2).  h: [E, n_bins] per-edge boundary histograms,
     which splice additively; the statistic is the sketch's upper median.

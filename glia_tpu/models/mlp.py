@@ -41,7 +41,12 @@ def mlp2_forward(w, X, D, N1, N2):
     h2 = jnp.maximum(h1a @ w1, 0.0)
     h2a = jnp.concatenate([h2, jnp.ones((X.shape[0], 1), X.dtype)], axis=1)
     h3 = h2a @ w2
-    return 1.0 / (1.0 + jnp.exp(-h3))
+    # jax.nn.sigmoid == 1/(1+exp(-x)) in value but with a safe gradient:
+    # the naive form backprops 0*inf=NaN once exp(-x) overflows (seen at
+    # init on large-count region-context features, 105M-voxel config)
+    import jax
+
+    return jax.nn.sigmoid(h3)
 
 
 def mlp2_init(D, N1, N2, seed=0, scale=None):
@@ -61,7 +66,9 @@ def mlp2_dim(D, N1, N2):
 
 
 def logsig_forward(w, X):
-    """Batched Logsig: X [B, D] (bias already appended) -> [B]."""
+    """Batched Logsig: X [B, D] (bias already appended) -> [B].
+    (Kept in the naive 1/(1+exp) form: Logsig consumes min-max rescaled
+    inputs, pred_logsig/pred_mlp semantics, so overflow cannot occur.)"""
     import jax.numpy as jnp
 
     return 1.0 / (1.0 + jnp.exp(-(X @ w)))

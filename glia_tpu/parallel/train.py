@@ -211,7 +211,10 @@ def _edge_feats_from_pixels(px, px_mask, n_bins):
     mean = s / denom[:, None]
     ss = (px * px * m).sum(axis=2)
     var = jnp.maximum(ss / denom[:, None] - mean * mean, 0.0)
-    std = jnp.sqrt(var)
+    # safe sqrt: d/dv sqrt(v) -> inf at v=0, and var==0 is common (every
+    # single-pixel boundary), so grad would be 0*inf=NaN; value unchanged
+    std = jnp.where(var > 0,
+                    jnp.sqrt(jnp.where(var > 0, var, 1.0)), 0.0)
     mn = jnp.where(m > 0, px, jnp.inf).min(axis=2)
     mn = jnp.where(cnt[:, None] > 0, mn, 0.0)
     mx = jnp.where(m > 0, px, -jnp.inf).max(axis=2)
@@ -244,7 +247,10 @@ def make_halo_train_step(mesh: Mesh, plan, n_regions: int, n_images=2,
 
     edge_w, D = halo_feat_dims(n_images, n_bins)
     n, H, R_own = plan.n, plan.H, plan.R_own_max
-    opt = optax.adam(lr)
+    # global-norm clip: the feature family includes raw counts and region
+    # context sums (unbounded with graph size); unclipped adam at lr=1e-3
+    # drove weights to inf->NaN within 3 steps on the 105M-voxel config
+    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
 
     def init(seed=0):
         w = jnp.asarray(mlp2_init(D, n1, n2, seed), dtype=jnp.float32)

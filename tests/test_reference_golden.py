@@ -390,3 +390,50 @@ def test_ccm_golden(golden):
             pos += 2
             assert node_energy_positive(tree, i, EM, ES, em, es) == rp, i
             assert node_energy_negative(tree, i, EM, ES, em, es) == rn, i
+
+
+def test_rescale_golden(golden):
+    """Feature min-max rescale (stats.hxx:264-318): minmax discovery +
+    the FEPS-guarded transform, vs the compiled reference."""
+    from glia_tpu.learn.predict import feature_minmax, rescale_features
+
+    rng = np.random.default_rng(12)
+    for trial in range(4):
+        n = int(rng.integers(2, 12))
+        d = int(rng.integers(1, 6))
+        X = np.round(rng.standard_normal((n, d)) * 10, 6)
+        if trial == 3:
+            X[:, 0] = 2.5  # constant column: denominator = FEPS only
+        omin, omax = (-1.0, 1.0) if trial % 2 == 0 else (0.0, 1.0)
+        body = " ".join(repr(float(x)) for x in X.ravel())
+        toks = golden(f"rescale {n} {d} {omin!r} {omax!r} {body}")
+        vals = np.array([float(t) for t in toks])
+        ref_min, ref_max = vals[:d], vals[d:2 * d]
+        ref_scaled = vals[2 * d:].reshape(n, d)
+        mm = feature_minmax(X)
+        np.testing.assert_array_equal(mm[0], ref_min)
+        np.testing.assert_array_equal(mm[1], ref_max)
+        got = rescale_features(X, mm, out_min=omin, out_max=omax)
+        np.testing.assert_array_equal(got, ref_scaled)
+
+
+def test_writedata_golden(golden, tmp_path):
+    """Text matrix file written by the reference's writeData (the mains'
+    feature-file convention, main_bc_feat.cxx:108) parses with glia_tpu's
+    reader to the same values at FLT_PREC precision."""
+    from glia_tpu.io.text import read_matrix, write_matrix
+
+    rng = np.random.default_rng(13)
+    n, d = 5, 4
+    X = rng.standard_normal((n, d)) * np.logspace(-3, 3, d)
+    path = tmp_path / "ref_mat.txt"
+    body = " ".join(repr(float(x)) for x in X.ravel())
+    toks = golden(f"writedata {n} {d} {path} {body}")
+    assert toks[0] == "ok"
+    got = read_matrix(str(path))
+    assert got.shape == (n, d)
+    np.testing.assert_allclose(got, X, rtol=1e-7)  # FLT_PREC = 8 digits
+    # and our writer's output round-trips through our reader identically
+    path2 = tmp_path / "our_mat.txt"
+    write_matrix(str(path2), got)
+    np.testing.assert_array_equal(read_matrix(str(path2)), got)

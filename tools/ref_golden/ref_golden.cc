@@ -28,6 +28,7 @@
 #include <cmath>
 
 #include "util/stats.hxx"
+#include "util/text_io.hxx"
 #include "type/hash.hxx"
 #include "type/tree.hxx"
 #include "type/tuple.hxx"
@@ -226,6 +227,36 @@ int main () {
           std::printf("\n");
         }
       }
+    } else if (c == "rescale") {
+      // n d outputMin outputMax then n*d doubles: feature min-max rescale
+      // (util/stats.hxx:264-318, the pred_mlp preprocessing)
+      int n, d; double omin, omax;
+      std::scanf("%d %d %lf %lf", &n, &d, &omin, &omax);
+      std::vector<std::vector<std::vector<FVal>>> feats(1);
+      feats[0].resize(n, std::vector<FVal>(d));
+      for (auto& row : feats[0])
+      { for (auto& x : row) { std::scanf("%lf", &x); } }
+      std::vector<std::vector<FVal>> minmax;
+      stats::rescale(minmax, feats, omin, omax);
+      for (int r = 0; r < 2; ++r) {
+        for (auto x : minmax[r]) { std::printf("%.17g ", x); }
+        std::printf("\n");
+      }
+      for (auto const& row : feats[0]) {
+        for (auto x : row) { std::printf("%.17g ", x); }
+        std::printf("\n");
+      }
+    } else if (c == "writedata") {
+      // n d path then n*d doubles: write a feature matrix with the
+      // mains' conventions (writeData(file, rows, " ", "\n", FLT_PREC),
+      // main_bc_feat.cxx:108) so glia_tpu's text IO parses real files
+      int n, d; char path[512];
+      std::scanf("%d %d %511s", &n, &d, path);
+      std::vector<std::vector<FVal>> rows(n, std::vector<FVal>(d));
+      for (auto& row : rows)
+      { for (auto& x : row) { std::scanf("%lf", &x); } }
+      writeData(std::string(path), rows, " ", "\n", FLT_PREC);
+      std::printf("ok\n");
     } else if (c == "ccm") {
       // n triples then M lines of (Em Es)
       int n; std::scanf("%d", &n);

@@ -63,15 +63,25 @@ def main():
         f"{n_cells} true cells ({stages['generate']}s, "
         f"peak {peak_gb():.1f}GB)")
 
-    # train the boundary classifier on independent 2D slices (the feature
-    # semantics are dimension-generic; reference trains per-dataset)
+    # train the boundary classifier on an independent small 3D subvolume:
+    # 3D supervoxel shape/stat distributions differ from 2D slices, and a
+    # 2D-trained forest miscalibrates the merge probabilities (measured:
+    # VI 0.73 -> 1.45 over-merge with 2D training at this scale)
     t0 = time.time()
-    train_slices = [synthetic_em_slice((side, side), n_cells=n_cells // 4,
-                                       seed=s) for s in (31, 32)]
-    model = hmt_train(train_slices, n_trees=80, pre_merge_size=50,
+    tz, tside = max(Z // 4, 8), max(side // 2, 64)
+    tcells = max(n_cells * (tz * tside * tside)
+                 // (Z * side * side), 8)
+    tr = synthetic_em_stack(shape=(tz, tside, tside), n_cells=tcells,
+                            seed=31)
+    tr_vol = {"pb": tr["pb3d"],
+              "intensity": np.stack([s["intensity"]
+                                     for s in tr["slices"]]),
+              "truth": tr["truth3d"]}
+    model = hmt_train([tr_vol], n_trees=80, pre_merge_size=50,
                       watershed_level=0.04)
     stages["train"] = round(time.time() - t0, 1)
-    log(f"trained forest ({stages['train']}s)")
+    log(f"trained forest on {tz}x{tside}x{tside} subvolume "
+        f"({stages['train']}s)")
 
     t0 = time.time()
     seg, aux = hmt3d_segment(pb_vol, int_vol, model, watershed_level=0.04,

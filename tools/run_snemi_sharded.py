@@ -52,7 +52,6 @@ def main():
 
     jax.config.update("jax_platforms", "cpu")
 
-    import scipy.ndimage as ndi
 
     from glia_tpu.data.synthetic import synthetic_em_stack
     from glia_tpu.graph.rag import build_rag
@@ -74,8 +73,8 @@ def main():
         f"({stages['generate']}s, peak {peak_gb():.1f}GB)")
 
     t0 = time.time()
-    seg = watershed_native(ndi.gaussian_filter(pb, (0.6, 1.0, 1.0)),
-                           level=0.04)
+    level = float(os.environ.get("GLIA_WS_LEVEL", "0.01"))
+    seg = watershed_native(pb, level=level)
     stages["watershed"] = round(time.time() - t0, 1)
     t0 = time.time()
     rag = build_rag(seg, contour_only=False)
