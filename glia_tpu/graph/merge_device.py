@@ -404,10 +404,14 @@ def _build_fused_fn(stat_fn, E, R, dmax, max_supersteps, dtype,
         ridx = ridx.at[u].min(jnp.where(at_min_u, idx, E))
         ridx = ridx.at[v].min(jnp.where(at_min_v, idx, E))
         m = ridx                                   # [n_ids]; E = none
-        u_pad = jnp.concatenate([u, jnp.full(1, n_ids, jnp.int32)])
-        v_pad = jnp.concatenate([v, jnp.full(1, n_ids, jnp.int32)])
-        mu = u_pad[jnp.minimum(m, E)]
-        mv = v_pad[jnp.minimum(m, E)]
+        # one gather for both endpoints (each random-index pass costs ~1
+        # superstep-millisecond; see RESULTS.md roofline)
+        uv_pad = jnp.concatenate(
+            [jnp.stack([u, v], axis=1),
+             jnp.full((1, 2), n_ids, jnp.int32)], axis=0)
+        muv = uv_pad[jnp.minimum(m, E)]
+        mu = muv[:, 0]
+        mv = muv[:, 1]
         parent = jnp.where(m < E, jnp.where(mu == vid, mv, mu), vid)
 
         # --- roots: canonical vertex of each mutual-minimum 2-cycle ---
@@ -491,8 +495,9 @@ def _build_fused_fn(stat_fn, E, R, dmax, max_supersteps, dtype,
         lo_k = jnp.where(alive2, jnp.minimum(u2, v2), jnp.int32(n_ids))
         hi_k = jnp.where(alive2, jnp.maximum(u2, v2), idx)
         lo_s, hi_s, perm = jax.lax.sort((lo_k, hi_k, idx), num_keys=2)
-        u3 = jnp.take(u2, perm)
-        v3 = jnp.take(v2, perm)
+        uv3 = jnp.take(jnp.stack([u2, v2], axis=1), perm, axis=0)
+        u3 = uv3[:, 0]
+        v3 = uv3[:, 1]
         alive_s = jnp.take(alive2, perm)
         pfirst = jnp.concatenate(
             [jnp.ones(1, bool),
@@ -553,6 +558,15 @@ def _mean_stat(payload):
     return s / jnp.maximum(c, 1.0)
 
 
+def _mean_stat_packed(payload):
+    """Mean over a single packed [E, 2] (sum, count) payload: one gather/
+    scatter pass per superstep for the payload instead of two."""
+    import jax.numpy as jnp
+
+    (sc,) = payload
+    return sc[:, 0] / jnp.maximum(sc[:, 1], 1.0)
+
+
 def merge_batched_device(u, v, s, c, n_regions, max_supersteps=256,
                          dtype=None, select_rounds=1, stats=None,
                          mode="fused", dmax=4):
@@ -571,7 +585,11 @@ def merge_batched_device(u, v, s, c, n_regions, max_supersteps=256,
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
     if mode == "fused":
-        return _fused_merge_core(u, v, (s, c), _mean_stat, n_regions,
+        import jax.numpy as jnp
+
+        sc = jnp.stack([jnp.asarray(s, dtype), jnp.asarray(c, dtype)],
+                       axis=1)
+        return _fused_merge_core(u, v, (sc,), _mean_stat_packed, n_regions,
                                  max_supersteps, dtype, dmax=dmax,
                                  stats=stats)
     return _superstep_merge_core(u, v, (s, c), _mean_stat, n_regions,
