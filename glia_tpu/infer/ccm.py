@@ -117,3 +117,65 @@ def node_energy_negative(tree: MergeTree, i: int, EM, ES, em, es) -> float:
         prev = j
         j = int(tree.parent[j])
     return ret
+
+
+# ---------------------------------------------------------------------------
+# exponential full-label enumeration + marginals (tree_ccm.hxx:124-190)
+# ---------------------------------------------------------------------------
+
+def ccm_full_label_energies(tree: MergeTree, em, es):
+    """computeFactorTreeFullLabelEnergy (tree_ccm.hxx:124-157).
+
+    Returns (Em_full [n], Es_lists): Em_full[i] = energy of everything
+    below i merging; Es_lists[i] = energies of ALL consistent labelings
+    that resolve i's subtree (cartesian products of children labelings
+    plus the "pick i" option), in the reference's enumeration order.
+    Exponential time/space -- small trees only (the reference keeps this
+    out of its main path too; capability parity).
+    """
+    n = tree.n_nodes
+    em_full = np.zeros(n, dtype=np.float64)
+    es_lists: List[List[float]] = [[] for _ in range(n)]
+    for i in range(n):
+        l, r = int(tree.left[i]), int(tree.right[i])
+        if l < 0:
+            em_full[i] = 0.0
+            es_lists[i] = [0.0]
+            continue
+        em_sum = 0.0
+        for c in (l, r):
+            em_sum = _plus_equal(em_sum, em_full[c])
+        em_full[i] = _plus_equal(float(em[i]), em_sum)
+        out: List[float] = []
+        for x0 in es_lists[l]:          # reference combination order:
+            r0 = _plus_equal(float(es[i]), x0)   # first list outermost
+            for x1 in es_lists[r]:
+                out.append(_plus_equal(r0, x1))
+        out.append(em_full[i])
+        es_lists[i] = out
+    return em_full, es_lists
+
+
+def ccm_node_marginal_energy(tree: MergeTree, i: int, em, es, full=None):
+    """computeFactorNodeMarginalEnergy (tree_ccm.hxx:160-190): energies
+    of all labelings in which node i is a picked segment -- i's branch
+    cost plus every combination of the off-path sibling subtrees'
+    labelings, in the reference's enumeration order."""
+    em_full, es_lists = full if full is not None \
+        else ccm_full_label_energies(tree, em, es)
+    e_branch = float(es[i])
+    for c in (int(tree.left[i]), int(tree.right[i])):
+        if c >= 0:
+            e_branch = _plus_equal(e_branch, em_full[c])
+    sib_lists: List[List[float]] = []
+    prev = i
+    for a in tree.ancestors(i):
+        e_branch = _plus_equal(e_branch, float(es[a]))
+        for c in (int(tree.left[a]), int(tree.right[a])):
+            if c >= 0 and c != prev:
+                sib_lists.append(es_lists[c])
+        prev = a
+    out = [e_branch]
+    for lst in sib_lists:               # same fold order as combination
+        out = [_plus_equal(res, x) for res in out for x in lst]
+    return np.asarray(out, dtype=np.float64)

@@ -392,6 +392,45 @@ def test_ccm_golden(golden):
             assert node_energy_negative(tree, i, EM, ES, em, es) == rn, i
 
 
+def test_ccm_full_label_marginal_golden(golden):
+    """Exponential full-label enumeration + per-node marginal energies
+    (tree_ccm.hxx:124-190) -- enumeration ORDER and saturating-add values
+    both checked against the compiled reference.  Tiny trees (the
+    reference keeps this out of its main path; capability parity)."""
+    from glia_tpu.graph.tree import FMAX, build_tree
+    from glia_tpu.infer.ccm import (ccm_full_label_energies,
+                                    ccm_node_marginal_energy)
+
+    rng = np.random.default_rng(23)
+    for trial in range(5):
+        order = random_order(rng, int(rng.integers(2, 9)))
+        tree = build_tree(order)
+        m = tree.n_nodes
+        em = np.round(rng.random(m) * 3, 6)
+        es = np.round(rng.random(m) * 3, 6)
+        es[tree.is_leaf] = FMAX
+        pairs = " ".join(f"{float(em[i])!r} {float(es[i])!r}"
+                         for i in range(m))
+        toks = golden(f"ccmfull {order_text(order)} {m} {pairs}")
+        assert int(toks[0]) == m
+        em_full, es_lists = ccm_full_label_energies(tree, em, es)
+        pos = 1
+        for i in range(m):
+            assert float(toks[pos]) == em_full[i], f"Em_full[{i}]"
+            k = int(toks[pos + 1])
+            pos += 2
+            ref = [float(toks[pos + j]) for j in range(k)]
+            pos += k
+            assert es_lists[i] == ref, f"Es list @ node {i}"
+        full = (em_full, es_lists)
+        for i in range(m):
+            k = int(toks[pos]); pos += 1
+            ref = [float(toks[pos + j]) for j in range(k)]
+            pos += k
+            marg = ccm_node_marginal_energy(tree, i, em, es, full=full)
+            assert marg.tolist() == ref, f"marginal @ node {i}"
+
+
 def test_rescale_golden(golden):
     """Feature min-max rescale (stats.hxx:264-318): minmax discovery +
     the FEPS-guarded transform, vs the compiled reference."""

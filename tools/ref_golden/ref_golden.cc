@@ -15,7 +15,9 @@
 //   hmt/tree_greedy.hxx resolveTreeGreedy single-tree, multi-tree
 //                       consensus, and subset-inclusion variants
 //   hmt/tree_ccm.hxx    computeEnergyTuples, resolveFactorTree,
-//                       computeFactorNodeEnergy{Positive,Negative}
+//                       computeFactorNodeEnergy{Positive,Negative},
+//                       computeFactorTreeFullLabelEnergy,
+//                       computeFactorNodeMarginalEnergy
 //
 // Protocol: reads commands from stdin (first token = command), writes one
 // result block per command to stdout; "end" terminates.  All numbers are
@@ -279,6 +281,31 @@ int main () {
         std::printf("%.17g %.17g\n",
                     hmt::computeFactorNodeEnergyPositive(tree, i, Ems),
                     hmt::computeFactorNodeEnergyNegative(tree, i, Ems));
+      }
+    } else if (c == "ccmfull") {
+      // n triples then M lines of (Em Es): exponential full-label
+      // enumeration (tree_ccm.hxx:124-157) + per-node marginal energies
+      // (tree_ccm.hxx:160-190).  Tiny trees only.
+      int n; std::scanf("%d", &n);
+      auto order = readOrder(n);
+      auto tree = buildTree(order);
+      int m; std::scanf("%d", &m);
+      for (int i = 0; i < m; ++i)
+      { std::scanf("%lf %lf", &tree[i].data.Em, &tree[i].data.Es); }
+      std::vector<std::pair<double, std::vector<double>>> Ems;
+      hmt::computeFactorTreeFullLabelEnergy(Ems, tree);
+      std::printf("%d\n", (int)Ems.size());
+      for (auto const& e : Ems) {
+        std::printf("%.17g %d", e.first, (int)e.second.size());
+        for (auto x : e.second) { std::printf(" %.17g", x); }
+        std::printf("\n");
+      }
+      for (int i = 0; i < m; ++i) {
+        std::vector<double> marg;
+        hmt::computeFactorNodeMarginalEnergy(marg, tree, i, Ems);
+        std::printf("%d", (int)marg.size());
+        for (auto x : marg) { std::printf(" %.17g", x); }
+        std::printf("\n");
       }
     } else {
       std::fprintf(stderr, "unknown command: %s\n", cmd);
