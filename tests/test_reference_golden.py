@@ -392,6 +392,28 @@ def test_ccm_golden(golden):
             assert node_energy_negative(tree, i, EM, ES, em, es) == rn, i
 
 
+def test_hist_dist_golden(golden):
+    """distL1/distL2/distX2 (stats.hxx:155-185) vs the numpy expressions
+    used by the feature extractors (hierarchical.py histL1/histX2 columns,
+    serialize.py)."""
+    from glia_tpu.constants import FEPS
+
+    rng = np.random.default_rng(31)
+    for n in [1, 2, 8, 16, 33, 256]:
+        a = np.round(rng.random(n) * 50, 3)
+        b = np.round(rng.random(n) * 50, 3)
+        toks = golden(f"dist {n} " + fmt(a.tolist()) + " " + fmt(b.tolist()))
+        l1_ref, l2_ref, x2_ref = (float(t) for t in toks[:3])
+        l1 = np.abs(a - b).sum()
+        l2 = np.square(a - b).sum()
+        x2 = (np.square(a - b) / (a + b + FEPS)).sum()
+        # C++ accumulates strictly left-to-right; numpy uses pairwise
+        # blocks -- identical up to ULP-level reassociation
+        assert np.isclose(l1, l1_ref, rtol=1e-12, atol=0)
+        assert np.isclose(l2, l2_ref, rtol=1e-12, atol=0)
+        assert np.isclose(x2, x2_ref, rtol=1e-12, atol=0)
+
+
 def test_ccm_full_label_marginal_golden(golden):
     """Exponential full-label enumeration + per-node marginal energies
     (tree_ccm.hxx:124-190) -- enumeration ORDER and saturating-add values

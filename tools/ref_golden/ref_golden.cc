@@ -282,6 +282,15 @@ int main () {
                     hmt::computeFactorNodeEnergyPositive(tree, i, Ems),
                     hmt::computeFactorNodeEnergyNegative(tree, i, Ems));
       }
+    } else if (c == "dist") {
+      // n then n doubles then n doubles: distL1/distL2/distX2
+      // (stats.hxx:155-185, the histogram-diff feature kernels)
+      int n; std::scanf("%d", &n);
+      std::vector<double> a(n), b(n);
+      for (auto& x : a) { std::scanf("%lf", &x); }
+      for (auto& x : b) { std::scanf("%lf", &x); }
+      std::printf("%.17g %.17g %.17g\n", stats::distL1(a, b),
+                  stats::distL2(a, b), stats::distX2(a, b));
     } else if (c == "ccmfull") {
       // n triples then M lines of (Em Es): exponential full-label
       // enumeration (tree_ccm.hxx:124-157) + per-node marginal energies
