@@ -48,6 +48,13 @@ def get_lib():
             i64, p_i64, p_i64, p_i64, p_f64, ctypes.c_int,
             i64, p_i64, p_i64, p_i64, p_f64, i64,
         ]
+        lib.glia_greedy_merge_premerge.restype = i64
+        lib.glia_greedy_merge_premerge.argtypes = [
+            i64, p_i64, p_i64, p_i64, p_f64,
+            i64, p_i64, p_i64, p_f64,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            p_i64, p_f64, i64,
+        ]
         lib.glia_watershed.restype = i64
         lib.glia_watershed.argtypes = [p_f32, p_i64, ctypes.c_int,
                                        ctypes.c_double, p_i32]
@@ -82,6 +89,42 @@ def greedy_merge_native(rag, pb_image, policy="median"):
     n = lib.glia_greedy_merge(
         rag.n_edges, u, v, ptr, np.ascontiguousarray(edge_vals),
         _POLICY_IDS[policy], len(keys), keys, sizes, order, sals, max_merges,
+    )
+    return order[: n * 3].reshape(-1, 3).copy(), sals[:n].copy()
+
+
+def pre_merge_native(rag, pb_image, size_thresholds=(50,),
+                     rpb_threshold=0.5):
+    """Serial pre-merge via the C++ engine (gadget/main_pre_merge.cxx
+    semantics): pooled-mean greedy merges admitted only while the smaller
+    region is tiny (< thresholds[0]) or either region is medium
+    (< thresholds[1]) with mean pb above rpb_threshold.  Same outputs as
+    glia_tpu.pipeline.pre_merge's Python fcond engine."""
+    lib = get_lib()
+    pb = np.ascontiguousarray(np.asarray(pb_image).ravel(), dtype=np.float64)
+    edge_vals = pb[rag.edge_pixels]
+    u = np.ascontiguousarray(rag.edges[:, 0], dtype=np.int64)
+    v = np.ascontiguousarray(rag.edges[:, 1], dtype=np.int64)
+    ptr = np.ascontiguousarray(rag.edge_ptr, dtype=np.int64)
+    keys = np.ascontiguousarray(rag.keys, dtype=np.int64)
+    if rag.sizes is None or len(rag.sizes) == 0:
+        raise ValueError("RAG has no region sizes; build with full init")
+    sizes = np.ascontiguousarray(rag.sizes, dtype=np.int64)
+    # per-region summed pb for the mean-pb condition
+    rl = np.diff(rag.region_ptr)
+    rid = np.repeat(np.arange(rag.n_regions), rl)
+    pb_sums = np.ascontiguousarray(
+        np.bincount(rid, weights=pb[rag.region_pixels],
+                    minlength=rag.n_regions))
+    t0 = float(size_thresholds[0])
+    t1 = float(size_thresholds[1]) if len(size_thresholds) > 1 else -1.0
+    max_merges = max(rag.n_regions - 1, 0)
+    order = np.zeros(max(max_merges * 3, 1), dtype=np.int64)
+    sals = np.zeros(max(max_merges, 1), dtype=np.float64)
+    n = lib.glia_greedy_merge_premerge(
+        rag.n_edges, u, v, ptr, np.ascontiguousarray(edge_vals),
+        len(keys), keys, sizes, pb_sums, t0, t1, float(rpb_threshold),
+        order, sals, max_merges,
     )
     return order[: n * 3].reshape(-1, 3).copy(), sals[:n].copy()
 

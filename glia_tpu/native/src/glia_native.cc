@@ -66,26 +66,40 @@ double upper_median(std::vector<double>& v) {
 
 }  // namespace
 
-extern "C" {
+namespace {
 
-// policy: 0=median, 1=mean, 2=median_minsize
-// Returns the number of merges written (<= max_merges).
-i64 glia_greedy_merge(i64 n_edges, const i64* edges_u, const i64* edges_v,
+// Shared serial greedy core.  When use_premerge != 0 the pop honors the
+// pre_merge admission condition (gadget/main_pre_merge.cxx:27-77): merge
+// iff the smaller region is tiny (< t0) or either region is medium
+// (< t1) with mean pb above rpb_threshold.  Failing candidates are
+// dropped from the heap permanently -- equivalent to the reference's
+// multimap rescan because the condition depends only on endpoint-region
+// state, which cannot change without the pair being rekeyed (see
+// glia_tpu/graph/merge.py pop_valid for the full argument).
+i64 greedy_merge_core(i64 n_edges, const i64* edges_u, const i64* edges_v,
                       const i64* edge_ptr, const double* edge_vals, int policy,
                       i64 n_regions, const i64* region_keys,
                       const i64* region_sizes, i64* out_order,
-                      double* out_saliencies, i64 max_merges) {
+                      double* out_saliencies, i64 max_merges,
+                      int use_premerge, double t0, double t1,
+                      double rpb_threshold, const double* region_pb_sums) {
   std::unordered_map<std::pair<i64, i64>, Item, PairHash> table;
   std::unordered_map<i64, std::unordered_set<i64>> adj;
   std::unordered_map<i64, i64> sizes;
+  std::unordered_map<i64, double> pb_sums;
   std::priority_queue<HeapEntry, std::vector<HeapEntry>,
                       std::greater<HeapEntry>>
       heap;
   i64 seq = 0;
-  bool need_sizes = (policy == 2);
+  bool need_sizes = (policy == 2) || use_premerge;
   if (need_sizes) {
     sizes.reserve(n_regions * 2);
     for (i64 i = 0; i < n_regions; ++i) sizes[region_keys[i]] = region_sizes[i];
+  }
+  if (use_premerge) {
+    pb_sums.reserve(n_regions * 2);
+    for (i64 i = 0; i < n_regions; ++i)
+      pb_sums[region_keys[i]] = region_pb_sums[i];
   }
 
   auto stat_of = [&](Item& it, i64 u, i64 v) -> double {
@@ -141,12 +155,27 @@ i64 glia_greedy_merge(i64 n_edges, const i64* edges_u, const i64* edges_v,
       HeapEntry top = heap.top();
       heap.pop();
       auto it = table.find(std::make_pair(top.u, top.v));
-      if (it != table.end() && it->second.seq == -top.neg_seq) {
-        r0 = top.u;
-        r1 = top.v;
-        stat = top.stat;
-        break;
+      if (it == table.end() || it->second.seq != -top.neg_seq) continue;
+      if (use_premerge) {
+        // smaller region first; on equal sizes keep (u, v) order like the
+        // reference's swap-only-if-greater (main_pre_merge.cxx:37-41)
+        i64 k0 = top.u, k1 = top.v;
+        i64 s0 = sizes[k0], s1 = sizes[k1];
+        if (s0 > s1) { std::swap(k0, k1); std::swap(s0, s1); }
+        bool pass = s0 < t0;
+        if (!pass && t1 >= 0.0) {
+          if (s0 < t1 && (s0 > 0 ? pb_sums[k0] / s0 : 0.0) > rpb_threshold)
+            pass = true;
+          else if (s1 < t1 &&
+                   (s1 > 0 ? pb_sums[k1] / s1 : 0.0) > rpb_threshold)
+            pass = true;
+        }
+        if (!pass) continue;  // frozen until rekeyed
       }
+      r0 = top.u;
+      r1 = top.v;
+      stat = top.stat;
+      break;
     }
     if (r0 < 0) break;
 
@@ -157,6 +186,7 @@ i64 glia_greedy_merge(i64 n_edges, const i64* edges_u, const i64* edges_v,
     out_saliencies[n_merges] = -stat;
     ++n_merges;
     if (need_sizes) sizes[r2] = sizes[r0] + sizes[r1];
+    if (use_premerge) pb_sums[r2] = pb_sums[r0] + pb_sums[r1];
 
     table.erase(std::make_pair(r0, r1));
     adj[r0].erase(r1);
@@ -192,9 +222,47 @@ i64 glia_greedy_merge(i64 n_edges, const i64* edges_u, const i64* edges_v,
   return n_merges;
 }
 
+}  // namespace
+
+extern "C" {
+
+// policy: 0=median, 1=mean, 2=median_minsize
+// Returns the number of merges written (<= max_merges).
+i64 glia_greedy_merge(i64 n_edges, const i64* edges_u, const i64* edges_v,
+                      const i64* edge_ptr, const double* edge_vals, int policy,
+                      i64 n_regions, const i64* region_keys,
+                      const i64* region_sizes, i64* out_order,
+                      double* out_saliencies, i64 max_merges) {
+  return greedy_merge_core(n_edges, edges_u, edges_v, edge_ptr, edge_vals,
+                           policy, n_regions, region_keys, region_sizes,
+                           out_order, out_saliencies, max_merges,
+                           /*use_premerge=*/0, 0.0, -1.0, 0.0, nullptr);
+}
+
+// pre_merge (gadget/main_pre_merge.cxx): pooled-mean greedy merge admitting
+// only (small) or (medium & high mean-pb) regions.  t1 < 0 disables the
+// second threshold.  region_pb_sums: per-region summed pb (maintained
+// additively under merges, equal to the reference's lazy per-key mean).
+i64 glia_greedy_merge_premerge(
+    i64 n_edges, const i64* edges_u, const i64* edges_v, const i64* edge_ptr,
+    const double* edge_vals, i64 n_regions, const i64* region_keys,
+    const i64* region_sizes, const double* region_pb_sums, double t0,
+    double t1, double rpb_threshold, i64* out_order, double* out_saliencies,
+    i64 max_merges) {
+  return greedy_merge_core(n_edges, edges_u, edges_v, edge_ptr, edge_vals,
+                           /*policy=*/1, n_regions, region_keys, region_sizes,
+                           out_order, out_saliencies, max_merges,
+                           /*use_premerge=*/1, t0, t1, rpb_threshold,
+                           region_pb_sums);
+}
+
+}  // extern "C"
+
 // ---------------------------------------------------------------------------
 // Watershed (h-minima + Meyer priority flood), arbitrary dimension
 // ---------------------------------------------------------------------------
+
+extern "C" {
 
 namespace {
 

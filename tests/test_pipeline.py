@@ -49,6 +49,22 @@ def test_pre_merge_removes_small_regions():
     assert (counts < 30).sum() < 0.2 * len(uniq)
 
 
+@pytest.mark.parametrize("thresholds", [(30,), (20, 120)])
+def test_pre_merge_native_matches_python(thresholds):
+    """The C++ pre_merge engine (glia_greedy_merge_premerge) must produce
+    the identical segmentation as the Python fcond oracle engine,
+    including the two-threshold mean-pb admission rule
+    (gadget/main_pre_merge.cxx:27-77)."""
+    import scipy.ndimage as ndi
+
+    for seed in (4, 9):
+        data = synthetic_em_slice((96, 96), n_cells=14, seed=seed)
+        seg = watershed(ndi.gaussian_filter(data["pb"], 1.0), 0.02)
+        a = pre_merge(seg, data["pb"], thresholds, engine="native")
+        b = pre_merge(seg, data["pb"], thresholds, engine="py")
+        assert np.array_equal(a, b)
+
+
 @pytest.mark.parametrize("mode", ["greedy", "ccm"])
 def test_learned_segmentation_beats_watershed(model_and_test_slice, mode):
     model, test = model_and_test_slice
