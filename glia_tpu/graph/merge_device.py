@@ -382,7 +382,12 @@ def _build_fused_fn(stat_fn, E, R, dmax, max_supersteps, dtype,
     vid = jnp.arange(n_ids, dtype=jnp.int32)
     BIG = jnp.asarray(jnp.inf, dtype)
     big32 = jnp.int32(2 ** 31 - 1)
-    INF_H = jnp.int32(n_ids + 7)
+    # hop/root propagation packs (h, rt) into ONE int32 per vertex --
+    # code = h*(n_ids+1) + rt -- halving the gathers in the dmax loop
+    # (measured 10% whole-merge win at 2048^2, RESULTS.md).  Needs
+    # (dmax+2)*(n_ids+1) < 2^31; fall back to two gathers/hop otherwise.
+    pack_hr = (dmax + 2) * (n_ids + 1) < 2 ** 31
+    INF_H = jnp.int32(dmax + 1) if pack_hr else jnp.int32(n_ids + 7)
 
     def cond(state):
         step, n_m, u, v, payload, alive, order, sal = state
@@ -418,12 +423,23 @@ def _build_fused_fn(stat_fn, E, R, dmax, max_supersteps, dtype,
         is_root = (parent[parent] == vid) & (vid < parent)
 
         # --- depth-limited hop counts + root propagation ---
-        h = jnp.where(is_root, 0, INF_H)
-        rt = jnp.where(is_root, vid, n_ids)
-        for _ in range(dmax):
-            hp = h[parent]
-            h = jnp.minimum(h, jnp.where(hp < INF_H, hp + 1, INF_H))
-            rt = jnp.where(rt < n_ids, rt, rt[parent])
+        if pack_hr:
+            W = jnp.int32(n_ids + 1)
+            known_lim = INF_H * W
+            code = jnp.where(is_root, vid, known_lim + jnp.int32(n_ids))
+            for _ in range(dmax):
+                cp = code[parent]
+                code = jnp.where(code < known_lim, code,
+                                 jnp.where(cp < known_lim, cp + W, code))
+            h = code // W
+            rt = jnp.where(code < known_lim, code % W, jnp.int32(n_ids))
+        else:
+            h = jnp.where(is_root, 0, INF_H)
+            rt = jnp.where(is_root, vid, n_ids)
+            for _ in range(dmax):
+                hp = h[parent]
+                h = jnp.minimum(h, jnp.where(hp < INF_H, hp + 1, INF_H))
+                rt = jnp.where(rt < n_ids, rt, rt[parent])
         attach = (h >= 1) & (h <= dmax) & (m < E)
 
         # --- order vertices by (component, edge stat, hop, id) ---
