@@ -672,7 +672,7 @@ def threshold_cut(order, stats, tau):
 
 
 def greedy_merge_device(rag, pb_image, policy="mean", n_bins=32,
-                        mode="fused", dmax=2, stats=None):
+                        mode="fused", dmax=4, stats=None):
     """User-surface device merge: same (order_keys, saliencies) contract as
     ``glia_tpu.native.greedy_merge_native`` but run as one batched XLA
     program on the accelerator (the TPU counterpart of the reference's

@@ -107,8 +107,11 @@ def pre_merge_native(rag, pb_image, size_thresholds=(50,),
     v = np.ascontiguousarray(rag.edges[:, 1], dtype=np.int64)
     ptr = np.ascontiguousarray(rag.edge_ptr, dtype=np.int64)
     keys = np.ascontiguousarray(rag.keys, dtype=np.int64)
-    if rag.sizes is None or len(rag.sizes) == 0:
-        raise ValueError("RAG has no region sizes; build with full init")
+    if (rag.sizes is None or len(rag.sizes) == 0
+            or rag.region_ptr is None or rag.region_pixels is None):
+        raise ValueError("RAG has no region sizes/pixels (contour-only "
+                         "build); pre_merge needs build_rag(contour_only="
+                         "False)")
     sizes = np.ascontiguousarray(rag.sizes, dtype=np.int64)
     # per-region summed pb for the mean-pb condition
     rl = np.diff(rag.region_ptr)

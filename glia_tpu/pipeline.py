@@ -267,15 +267,31 @@ def hmt_segment(pb, intensity, model: HmtModel, watershed_level=0.05,
     the classifier -> tree resolution -> final label image.
 
     engine="host" runs the exact serial C++ merge loop + host feature
-    extraction; engine="device" runs the batched fused merge engine and,
-    for forest models, the on-device classifier-in-the-loop pipeline
-    (merge_bc_device: device feature assembly + forest scoring), so the
-    whole hot path executes as XLA programs on the accelerator."""
+    extraction.  engine="device" runs the SAME algorithm with the merge
+    hot loop on the accelerator: batched fused pb-policy merge order,
+    then host feature extraction + batched classifier scoring (so host
+    and device hierarchies are structurally comparable).
+    engine="device_bc" (forest models only) runs the on-device
+    classifier-in-the-loop pipeline (merge_bc_device: device feature
+    assembly + forest scoring inside the merge loop) -- the counterpart
+    of the reference's merge_order_bc (util/struct_merge_bc.hxx:10-58),
+    which orders merges by classifier probability and therefore builds a
+    structurally DIFFERENT hierarchy than the pb-policy engines."""
     seg = watershed(pb, watershed_level)
     if pre_merge_size:
         seg = pre_merge(seg, pb, (pre_merge_size,))
     rag = build_rag(seg, contour_only=False)
-    if engine == "device" and model.kind == "rf":
+    if engine == "device_bc":
+        if model.kind != "rf":
+            raise ValueError(
+                "engine='device_bc' needs a forest model (kind='rf'); "
+                f"got kind={model.kind!r}")
+        if getattr(model, "feature_set", "full") != "full":
+            raise ValueError(
+                "engine='device_bc' assembles the full BC feature vector "
+                "on device; model.feature_set="
+                f"{model.feature_set!r} is not supported -- use "
+                "engine='host' or retrain with feature_set='full'")
         from .features.config import FeatureConfig
         from .graph.merge_bc_device import merge_order_bc_device
         from .models.forest import make_label_scorer
@@ -300,8 +316,12 @@ def hmt_segment(pb, intensity, model: HmtModel, watershed_level=0.05,
     if engine == "device":
         from .graph.merge_device import greedy_merge_device
 
-        policy = "mean" if model.policy == "mean" else "median"
-        order, sals = greedy_merge_device(rag, pb, policy=policy)
+        if model.policy not in ("mean", "median"):
+            raise ValueError(
+                f"device merge engine supports policies 'mean'|'median'; "
+                f"model.policy={model.policy!r} (e.g. 'median_minsize' "
+                f"keeps its min-size constraint only under engine='host')")
+        order, sals = greedy_merge_device(rag, pb, policy=model.policy)
     elif engine == "host":
         order, sals = greedy_merge_native(rag, pb, policy=model.policy)
     else:

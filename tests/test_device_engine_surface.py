@@ -81,16 +81,46 @@ def test_pipeline_hmt_segment_device_rf():
     tr = synthetic_em_slice((64, 64), n_cells=10, seed=3)
     te = synthetic_em_slice((64, 64), n_cells=10, seed=4)
     model = hmt_train([tr], n_trees=15, n_bins=8, watershed_level=0.05)
+    # engine="device_bc": classifier-in-the-loop on device (a different
+    # hierarchy than the pb-policy engines -- struct_merge_bc semantics)
     seg_d, info_d = hmt_segment(te["pb"], te["intensity"], model,
+                                engine="device_bc")
+    # engine="device": SAME algorithm as host (pb-policy order + batched
+    # scoring), merge loop on the accelerator
+    seg_p, info_p = hmt_segment(te["pb"], te["intensity"], model,
                                 engine="device")
     seg_h, info_h = hmt_segment(te["pb"], te["intensity"], model,
                                 engine="host")
     assert seg_d.shape == te["pb"].shape
     # device classifier-in-the-loop produces a full hierarchy + sane VI
     assert len(info_d["order"]) == len(info_h["order"])
+    assert len(info_p["order"]) == len(info_h["order"])
     _, _, vi_d = eval_vi(seg_d, te["truth"])
+    _, _, vi_p = eval_vi(seg_p, te["truth"])
     _, _, vi_h = eval_vi(seg_h, te["truth"])
-    assert vi_d < 3.0 and vi_h < 3.0
+    assert vi_d < 3.0 and vi_p < 3.0 and vi_h < 3.0
+
+
+def test_pipeline_hmt_segment_device_bc_rejects_simple_features():
+    from glia_tpu.pipeline import hmt_segment, hmt_train
+
+    tr = synthetic_em_slice((64, 64), n_cells=10, seed=3)
+    te = synthetic_em_slice((64, 64), n_cells=10, seed=4)
+    model = hmt_train([tr], n_trees=15, n_bins=8, watershed_level=0.05)
+    model.feature_set = "simple"
+    with pytest.raises(ValueError, match="feature_set"):
+        hmt_segment(te["pb"], te["intensity"], model, engine="device_bc")
+
+
+def test_pipeline_hmt_segment_device_rejects_unsupported_policy():
+    from glia_tpu.pipeline import hmt_segment, hmt_train
+
+    tr = synthetic_em_slice((64, 64), n_cells=10, seed=3)
+    te = synthetic_em_slice((64, 64), n_cells=10, seed=4)
+    model = hmt_train([tr], n_trees=15, n_bins=8, watershed_level=0.05)
+    model.policy = "median_minsize"
+    with pytest.raises(ValueError, match="median_minsize"):
+        hmt_segment(te["pb"], te["intensity"], model, engine="device")
 
 
 def test_pipeline_hmt_segment_device_mlp():

@@ -27,10 +27,19 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(skip)
 
 
+_exit_status = [0]
+
+
+def pytest_sessionfinish(session, exitstatus):
+    _exit_status[0] = int(exitstatus)
+
+
 def pytest_unconfigure(config):
-    # remote-TPU background threads block interpreter exit for ~60s
+    # remote-TPU background threads block interpreter exit for ~60s;
+    # hard-exit but PROPAGATE the real test status (a failing hardware
+    # suite must not report success to CI/scripts)
     import sys
 
     sys.stdout.flush()
     sys.stderr.flush()
-    os._exit(0)
+    os._exit(_exit_status[0])
