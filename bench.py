@@ -107,19 +107,32 @@ def main():
         f"({dev_edges_s/host_edges_s:.2f}x host serial)")
 
     # ---- parity replay: threshold cut -> segmentation -> VI ----
+    # cut on EXACT merge-time pooled means (host replay of the device
+    # order, merge_device.replay_exact_saliency): the serial engine's
+    # saliency quantity; the engine's recorded start-of-superstep stats
+    # are also scored to show the stale-saliency drift they would cause
     from glia_tpu.graph.merge import apply_merge_order
+    from glia_tpu.graph.merge_device import replay_exact_saliency
     from glia_tpu.metrics import eval_vi
 
     k = R - n_cells
     tau = -sal_h[k - 1]
     okeys = order_to_keys(order_b, n_m, rag)
-    mask = threshold_cut(okeys, -np.asarray(sal_b)[:n_m], tau)
+    order_d = np.asarray(order_b)[:n_m]
+    t0 = time.time()
+    ex = replay_exact_saliency(u, v, s, c, order_d)
+    log(f"exact-saliency host replay: {time.time()-t0:.2f}s")
+    mask = threshold_cut(okeys, ex, tau)
     seg_b = apply_merge_order(seg, okeys[mask])
+    mask_stale = threshold_cut(okeys, -np.asarray(sal_b)[:n_m], tau)
+    seg_stale = apply_merge_order(seg, okeys[mask_stale])
     seg_h = apply_merge_order(seg, order_h, threshold_index=k)
     _, _, vi_b = eval_vi(seg_b, data["truth"])
+    _, _, vi_s = eval_vi(seg_stale, data["truth"])
     _, _, vi_h = eval_vi(seg_h, data["truth"])
-    log(f"threshold-cut parity: VI serial {vi_h:.4f} vs device {vi_b:.4f} "
-        f"(delta {vi_b-vi_h:+.4f})")
+    log(f"threshold-cut parity: VI serial {vi_h:.4f} vs device "
+        f"{vi_b:.4f} (delta {vi_b-vi_h:+.4f}; stale-saliency cut would "
+        f"be {vi_s:.4f}, {vi_s-vi_h:+.4f})")
 
     result = {
         "metric": "rag_merge_edges_per_s_per_chip",

@@ -671,8 +671,76 @@ def threshold_cut(order, stats, tau):
     return mono <= tau
 
 
+def replay_exact_saliency(u, v, s, c, order):
+    """Serial host replay of a merge order recomputing each merge's EXACT
+    pooled-mean boundary statistic at merge time.
+
+    The batched superstep engine records each attach's start-of-superstep
+    statistic, which goes stale once earlier merges in the same superstep
+    re-pool the boundary (the reference's serial engine re-pools after
+    EVERY pop, boundary_table.hxx:122-167).  Replaying the emitted order
+    through a host boundary table restores the serial quantity --
+    measured to shrink the matched-threshold-cut VI drift ~25x at 1024^2+
+    (tests/test_merge_device.py bounds it; docs/RESULTS.md).
+
+    order rows are dense-index triples (r0, r1, r2).  Returns stat [n]
+    (pooled mean of each merge's boundary at merge time; saliency = -stat).
+    O(E + sum degree) with hash tables; ~0.3 s per 10k merges.
+    """
+    s = np.asarray(s, dtype=np.float64)
+    c = np.asarray(c, dtype=np.float64)
+    tbl = {}
+    nbrs = {}
+    for ui, vi, si, ci in zip(np.asarray(u).tolist(),
+                              np.asarray(v).tolist(),
+                              s.tolist(), c.tolist()):
+        a, b = (ui, vi) if ui < vi else (vi, ui)
+        k = (a, b)
+        if k in tbl:
+            e = tbl[k]
+            e[0] += si
+            e[1] += ci
+        else:
+            tbl[k] = [si, ci]
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+    order = np.asarray(order, dtype=np.int64).reshape(-1, 3)
+    out = np.full(len(order), np.nan)
+    for i, (a, b, r2) in enumerate(order):
+        a, b, r2 = int(a), int(b), int(r2)
+        k = (a, b) if a < b else (b, a)
+        e = tbl.pop(k, None)
+        if e is None:
+            continue  # non-adjacent pair: keep NaN, caller decides
+        out[i] = e[0] / max(e[1], 1.0)
+        na = nbrs.pop(a, set())
+        nb = nbrs.pop(b, set())
+        na.discard(b)
+        nb.discard(a)
+        merged = set()
+        for src, rest in ((a, na), (b, nb)):
+            for x in rest:
+                kk = (src, x) if src < x else (x, src)
+                ee = tbl.pop(kk)
+                k2 = (r2, x) if r2 < x else (x, r2)
+                if k2 in tbl:
+                    t = tbl[k2]
+                    t[0] += ee[0]
+                    t[1] += ee[1]
+                else:
+                    tbl[k2] = ee
+                nx = nbrs[x]
+                nx.discard(a)
+                nx.discard(b)
+                nx.add(r2)
+                merged.add(x)
+        nbrs[r2] = merged
+    return out
+
+
 def greedy_merge_device(rag, pb_image, policy="mean", n_bins=32,
-                        mode="fused", dmax=4, stats=None):
+                        mode="fused", dmax=4, stats=None,
+                        exact_saliency=True):
     """User-surface device merge: same (order_keys, saliencies) contract as
     ``glia_tpu.native.greedy_merge_native`` but run as one batched XLA
     program on the accelerator (the TPU counterpart of the reference's
@@ -681,19 +749,32 @@ def greedy_merge_device(rag, pb_image, policy="mean", n_bins=32,
     policy: "mean" (pooled boundary mean, struct_merge.hxx:38-85) or
     "median" (approx-median over an additive n_bins histogram sketch,
     struct_merge.hxx:90-136 semantics to bin resolution).
+
+    exact_saliency (default True, policy "mean"): replace the engine's
+    start-of-superstep saliencies with the exact merge-time pooled means
+    via a host replay pass (replay_exact_saliency) -- the serial-engine
+    quantity; threshold cuts on these match the serial cut's VI ~25x
+    closer at scale.  The device program is unchanged; the replay is a
+    cheap host post-pass outside the hot loop.
     Returns (order [n, 3] int64 label keys, saliencies [n]).
     """
     if policy == "mean":
         u, v, s, c = edge_mean_arrays(rag, pb_image)
         order, sal, n_m = merge_batched_device(
             u, v, s, c, rag.n_regions, mode=mode, dmax=dmax, stats=stats)
+        sal = np.asarray(sal)[:n_m]
+        if exact_saliency:
+            ex = replay_exact_saliency(u, v, s, c,
+                                       np.asarray(order)[:n_m])
+            sal = np.where(np.isnan(ex), sal, -ex)
     elif policy == "median":
         u, v, h = edge_hist_arrays(rag, pb_image, n_bins=n_bins)
         order, sal, n_m = merge_batched_device_hist(
             u, v, h, rag.n_regions, mode=mode, dmax=dmax, stats=stats)
+        sal = np.asarray(sal)[:n_m]
     else:
         raise ValueError(f"device policy {policy!r} (mean|median)")
-    return order_to_keys(order, n_m, rag), np.asarray(sal)[:n_m]
+    return order_to_keys(order, n_m, rag), sal
 
 
 def order_to_keys(order, n_merges, rag):
