@@ -1,0 +1,382 @@
+"""Edge-partitioned fused merge-tree construction across the device mesh.
+
+This shards the framework's headline hot loop -- the batched superstep
+greedy merge (graph/merge_device._build_fused_fn), our TPU formulation of
+the reference's serial boundary-table pop+update
+(code/type/boundary_table.hxx:122-167, driver util/struct_merge.hxx:13-33)
+-- over a jax.sharding.Mesh, so merge-tree construction itself scales
+with chips (VERDICT r3 missing #1; SURVEY section 7 step 9).
+
+Design (edge partition + owner arbitration at superstep barriers):
+
+  - Boundary pairs are distributed by a pair-hash OWNER function: every
+    (lo, hi) pair lives on exactly one shard, holding its fully-pooled
+    payload sketch.  Vertex (region) state is small -- O(R) -- and kept
+    REPLICATED via all-reduce minima each superstep.
+  - Per superstep, each shard scatter-mins its local edges into the
+    per-vertex tables (min stat bits; winner global edge id; winner's
+    partner + statistic), then three `lax.pmin` all-reduces make them
+    global: every shard then knows each region's globally-minimal
+    incident edge -- the same selection the single-chip engine makes.
+  - Chain contraction (depth-dmax Boruvka attach, hop-ordered order
+    emission, component luts) is computed REPLICATED from the vertex
+    tables: every shard emits the identical (r0, r1, r2) order rows, so
+    the merge order needs no gather at the end.
+  - After relabeling, surviving edges are ROUTED to the owner of their
+    new pair over one padded `all_to_all` (the superstep barrier): the
+    owner combines duplicate fragments (sort + segment-sum) so pooled
+    statistics stay exact, restoring the ownership invariant for the
+    next superstep.
+
+Selection parity with the single-chip fused engine: identical whenever
+no two distinct pairs tie in float32 stat bits (the engines tie-break
+differently: current array position vs original global edge id); on
+continuous boundary data ties are measure-zero and the emitted orders
+match row-for-row (tests/test_merge_shard.py asserts equality on a real
+watershed RAG across the 8-way CPU mesh).
+
+Communication per superstep and shard: 4 all-reduces over [R + max_m]
+vertex tables (~32R bytes) + one all_to_all whose real content is the
+edges TOUCHED by this superstep's merges (the padded buffer is capacity
+C = ~2E/D; counters in ``stats`` record actual routed/moved rows so the
+ICI model in docs/RESULTS.md extends to the merge loop).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+from .mesh import EDGE_AXIS
+
+_JIT_CACHE = {}
+
+
+def pair_owner_np(lo, hi, n_shards):
+    """Host-side pair->owner hash (must match _pair_owner below)."""
+    lo = np.asarray(lo, dtype=np.uint32)
+    hi = np.asarray(hi, dtype=np.uint32)
+    with np.errstate(over="ignore"):
+        h = (lo * np.uint32(2654435761)) ^ (hi * np.uint32(0x85EBCA6B))
+        h = h ^ (h >> np.uint32(15))
+    return (h % np.uint32(n_shards)).astype(np.int32)
+
+
+def _pair_owner(lo, hi, n_shards):
+    import jax.numpy as jnp
+
+    lo = lo.astype(jnp.uint32)
+    hi = hi.astype(jnp.uint32)
+    h = (lo * jnp.uint32(2654435761)) ^ (hi * jnp.uint32(0x85EBCA6B))
+    h = h ^ (h >> jnp.uint32(15))
+    return (h % jnp.uint32(n_shards)).astype(jnp.int32)
+
+
+def _build_sharded_fn(mesh, stat_fn, C, R, W, dmax, max_supersteps, dtype):
+    """One jitted shard_map program running the whole sharded merge."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    D = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    key = ("shard", id(mesh), stat_fn, C, R, W, dmax, max_supersteps,
+           str(dtype))
+    fn = _JIT_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    max_m = max(R - 1, 1)
+    n_ids = R + max_m
+    vid = jnp.arange(n_ids, dtype=jnp.int32)
+    cidx = jnp.arange(C, dtype=jnp.int32)
+    BIG = jnp.asarray(jnp.inf, dtype)
+    big32 = jnp.int32(2 ** 31 - 1)
+    pack_hr = (dmax + 2) * (n_ids + 1) < 2 ** 31
+    INF_H = jnp.int32(dmax + 1)
+
+    def cond(state):
+        (step, n_m, go, *_rest) = state
+        return (step < max_supersteps) & (go > 0) & (n_m < max_m)
+
+    def body(state):
+        (step, n_m, go, u, v, gid, payload, alive, order, sal,
+         routed, moved, overflow) = state
+        me = jax.lax.axis_index(EDGE_AXIS).astype(jnp.int32)
+
+        stat = jnp.where(alive, stat_fn((payload,)), BIG)
+        bits = jax.lax.bitcast_convert_type(
+            stat.astype(jnp.float32), jnp.int32)
+        bits = jnp.where(alive, bits, big32)
+
+        # --- global per-vertex minimum incident edge (3+1 all-reduces) ---
+        rb = jnp.full(n_ids, big32, jnp.int32)
+        rb = rb.at[u].min(bits).at[v].min(bits)
+        rb = jax.lax.pmin(rb, EDGE_AXIS)
+        at_u = alive & (rb[u] == bits)
+        at_v = alive & (rb[v] == bits)
+        rg = jnp.full(n_ids, big32, jnp.int32)
+        rg = rg.at[u].min(jnp.where(at_u, gid, big32))
+        rg = rg.at[v].min(jnp.where(at_v, gid, big32))
+        rg = jax.lax.pmin(rg, EDGE_AXIS)
+        win_u = at_u & (rg[u] == gid)
+        win_v = at_v & (rg[v] == gid)
+        pn = jnp.full(n_ids, n_ids, jnp.int32)
+        pn = pn.at[u].min(jnp.where(win_u, v, n_ids))
+        pn = pn.at[v].min(jnp.where(win_v, u, n_ids))
+        pn = jax.lax.pmin(pn, EDGE_AXIS)
+        ws = jnp.full(n_ids, BIG)
+        ws = ws.at[u].min(jnp.where(win_u, stat, BIG))
+        ws = ws.at[v].min(jnp.where(win_v, stat, BIG))
+        ws = jax.lax.pmin(ws, EDGE_AXIS)
+
+        has = rg < big32
+        parent = jnp.where(has, pn, vid)
+        is_root = (parent[parent] == vid) & (vid < parent)
+
+        # --- depth-limited hop/root propagation (replicated) ---
+        if pack_hr:
+            Wd = jnp.int32(n_ids + 1)
+            known_lim = INF_H * Wd
+            code = jnp.where(is_root, vid, known_lim + jnp.int32(n_ids))
+            for _ in range(dmax):
+                cp = code[parent]
+                code = jnp.where(code < known_lim, code,
+                                 jnp.where(cp < known_lim, cp + Wd, code))
+            h = code // Wd
+            rt = jnp.where(code < known_lim, code % Wd, jnp.int32(n_ids))
+        else:
+            h = jnp.where(is_root, 0, INF_H)
+            rt = jnp.where(is_root, vid, jnp.int32(n_ids))
+            for _ in range(dmax):
+                hp = h[parent]
+                h = jnp.minimum(h, jnp.where(hp < INF_H, hp + 1, INF_H))
+                rt = jnp.where(rt < n_ids, rt, rt[parent])
+        attach = (h >= 1) & (h <= dmax) & has
+
+        # --- order vertices by (component, edge stat, hop, id) ---
+        rt_key = jnp.where(attach | is_root, rt, jnp.int32(n_ids))
+        b_key = jnp.where(attach, rb, jnp.int32(-2 ** 31))  # roots first
+        h_key = jnp.where(attach | is_root, h, INF_H)
+        rt_s, _, h_s, vs = jax.lax.sort(
+            (rt_key, b_key, h_key, vid), num_keys=4)
+        is_merge = (rt_s < n_ids) & (h_s >= 1)
+        grank = jnp.cumsum(is_merge.astype(jnp.int32)) - 1
+        first = jnp.concatenate(
+            [jnp.ones(1, bool), rt_s[1:] != rt_s[:-1]])
+        first_in_run = is_merge & (
+            jnp.concatenate([jnp.ones(1, bool), ~is_merge[:-1]]) | first)
+        r2 = R + n_m + grank
+        r0 = jnp.where(first_in_run, rt_s, r2 - 1)
+        ok = is_merge & (n_m + grank < max_m)
+        n_new = ok.sum().astype(jnp.int32)
+
+        sal_rows = -ws[vs]
+        rows = jnp.stack(
+            [r0.astype(jnp.int32), vs, r2.astype(jnp.int32)], axis=1)
+        slot = jnp.where(ok, n_m + grank, max_m)
+        order_pad = jnp.concatenate(
+            [order, jnp.full((1, 3), -1, jnp.int32)], axis=0)
+        order = order_pad.at[slot].set(
+            jnp.where(ok[:, None], rows, -1))[:max_m]
+        sal_pad = jnp.concatenate([sal, jnp.zeros(1, sal.dtype)])
+        sal = sal_pad.at[slot].set(
+            jnp.where(ok, sal_rows.astype(sal.dtype), 0.0))[:max_m]
+
+        # --- component final-id lut (replicated) ---
+        run_id = jnp.cumsum(first.astype(jnp.int32)) - 1
+        last_rank = jnp.full(n_ids + 1, -1, jnp.int32)
+        last_rank = last_rank.at[run_id].max(jnp.where(ok, grank, -1))
+        fin = R + n_m + last_rank[run_id]
+        contracted = ((rt_s < n_ids) & (last_rank[run_id] >= 0)
+                      & (ok | (h_s == 0)))
+        lut = vid.at[jnp.where(contracted, vs, n_ids - 1)].set(
+            jnp.where(contracted, fin.astype(jnp.int32),
+                      jnp.int32(n_ids - 1)))
+
+        # --- consume winner edges of recorded attaches; relabel ---
+        rec = jnp.zeros(n_ids + 1, bool)
+        rec = rec.at[jnp.where(ok, vs, n_ids)].set(
+            jnp.where(ok, True, False))
+        used = ((rec[u] & (rg[u] == gid)) | (rec[v] & (rg[v] == gid)))
+        u2 = lut[u]
+        v2 = lut[v]
+        alive2 = alive & ~used & (u2 != v2)
+
+        # --- owner routing: pair -> hash owner over one all_to_all ---
+        lo2 = jnp.minimum(u2, v2)
+        hi2 = jnp.maximum(u2, v2)
+        dest = jnp.where(alive2, _pair_owner(lo2, hi2, D), me)
+        send_i = jnp.zeros((D, C, 4), jnp.int32)
+        send_p = jnp.zeros((D, C, W), dtype)
+        for d in range(D):
+            m_d = alive2 & (dest == d)
+            rank = jnp.cumsum(m_d.astype(jnp.int32)) - 1
+            sl = jnp.where(m_d, jnp.minimum(rank, C - 1), C)
+            ints = jnp.stack(
+                [u2, v2, gid, m_d.astype(jnp.int32)], axis=1)
+            si = jnp.zeros((C + 1, 4), jnp.int32)
+            send_i = send_i.at[d].set(
+                si.at[sl].set(jnp.where(m_d[:, None], ints, 0))[:C])
+            sp = jnp.zeros((C + 1, W), dtype)
+            send_p = send_p.at[d].set(
+                sp.at[sl].set(
+                    jnp.where(m_d[:, None], payload, 0.0))[:C])
+            overflow = overflow | (jnp.where(m_d, rank, 0).max() >= C)
+        routed = routed + alive2.sum().astype(jnp.int32)
+        moved = moved + (alive2 & (dest != me)).sum().astype(jnp.int32)
+        recv_i = jax.lax.all_to_all(send_i, EDGE_AXIS, split_axis=0,
+                                    concat_axis=0, tiled=False)
+        recv_p = jax.lax.all_to_all(send_p, EDGE_AXIS, split_axis=0,
+                                    concat_axis=0, tiled=False)
+        u_r = recv_i[:, :, 0].reshape(D * C)
+        v_r = recv_i[:, :, 1].reshape(D * C)
+        g_r = recv_i[:, :, 2].reshape(D * C)
+        ok_r = recv_i[:, :, 3].reshape(D * C) > 0
+        p_r = recv_p.reshape(D * C, W)
+
+        # --- owner-side dedupe: combine duplicate pair fragments ---
+        lo_r = jnp.where(ok_r, jnp.minimum(u_r, v_r), jnp.int32(n_ids))
+        hi_r = jnp.where(ok_r, jnp.maximum(u_r, v_r), jnp.int32(n_ids))
+        g_k = jnp.where(ok_r, g_r, big32)
+        ridx = jnp.arange(D * C, dtype=jnp.int32)
+        lo_s, hi_s, g_s, perm = jax.lax.sort(
+            (lo_r, hi_r, g_k, ridx), num_keys=3)
+        uv_s = jnp.take(jnp.stack([u_r, v_r], axis=1), perm, axis=0)
+        ok_s = jnp.take(ok_r, perm)
+        p_s = jnp.take(p_r, perm, axis=0)
+        pf = jnp.concatenate(
+            [jnp.ones(1, bool),
+             (lo_s[1:] != lo_s[:-1]) | (hi_s[1:] != hi_s[:-1])])
+        seg_id = jnp.cumsum(pf.astype(jnp.int32)) - 1
+        pz = jnp.where(ok_s[:, None], p_s, 0.0)
+        pseg = jax.ops.segment_sum(pz, seg_id, num_segments=D * C)
+        keep = pf & ok_s
+        n_keep = keep.sum().astype(jnp.int32)
+        overflow = overflow | (n_keep > C)
+        ksl = jnp.where(keep, jnp.minimum(
+            jnp.cumsum(keep.astype(jnp.int32)) - 1, C - 1), C)
+        ub = jnp.zeros(C + 1, jnp.int32).at[ksl].set(
+            jnp.where(keep, uv_s[:, 0], 0))[:C]
+        vb = jnp.zeros(C + 1, jnp.int32).at[ksl].set(
+            jnp.where(keep, uv_s[:, 1], 0))[:C]
+        gb = jnp.full(C + 1, big32, jnp.int32).at[ksl].set(
+            jnp.where(keep, g_s, big32))[:C]
+        ab = jnp.zeros(C + 1, bool).at[ksl].set(keep)[:C]
+        pb = jnp.zeros((C + 1, W), dtype).at[ksl].set(
+            jnp.where(keep[:, None], pseg[seg_id], 0.0))[:C]
+
+        go2 = jax.lax.psum(n_keep, EDGE_AXIS)
+        return (step + 1, n_m + n_new, go2, ub, vb, gb, pb, ab, order,
+                sal, routed, moved, overflow)
+
+    # check_vma=False: the carry mixes shard-varying edge state with
+    # replicated vertex/order state (the pmin'd tables make every shard
+    # emit identical order rows); the static checker can't prove the
+    # latter, so replication of the P() outputs is asserted by the
+    # cross-shard parity tests instead (tests/test_merge_shard.py)
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(EDGE_AXIS), P(EDGE_AXIS), P(EDGE_AXIS),
+                       P(EDGE_AXIS), P(EDGE_AXIS)),
+             out_specs=(P(), P(), P(), P(), P(), P(), P()),
+             check_vma=False)
+    def run(u0, v0, gid0, payload0, alive0):
+        order0 = jnp.full((max_m, 3), -1, jnp.int32)
+        sal0 = jnp.zeros(max_m, dtype)
+        st = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), jnp.int32(0), jnp.int32(1), u0, v0, gid0,
+             payload0, alive0, order0, sal0, jnp.int32(0), jnp.int32(0),
+             jnp.asarray(False)))
+        (step, n_m, _go, _u, _v, _g, _p, _a, order, sal, routed, moved,
+         overflow) = st
+        routed = jax.lax.psum(routed, EDGE_AXIS)
+        moved = jax.lax.psum(moved, EDGE_AXIS)
+        return (order, sal, n_m, step, routed, moved, overflow)
+
+    fn = jax.jit(run)
+    _JIT_CACHE[key] = fn
+    return fn
+
+
+def shard_merge_inputs(u, v, payload, n_shards, headroom=2.0,
+                       min_cap=256):
+    """Host-side initial distribution: each pair to its hash owner,
+    padded to a common per-shard capacity C (power of two).
+
+    payload: [E, W] additive sketch rows.  Returns flat [n_shards*C]
+    (u, v, gid, payload, alive) arrays plus C."""
+    u = np.asarray(u, dtype=np.int32)
+    v = np.asarray(v, dtype=np.int32)
+    payload = np.asarray(payload)
+    E = len(u)
+    W = payload.shape[1]
+    lo = np.minimum(u, v)
+    hi = np.maximum(u, v)
+    dest = pair_owner_np(lo, hi, n_shards)
+    counts = np.bincount(dest, minlength=n_shards)
+    C = max(min_cap,
+            1 << int(np.ceil(np.log2(max(counts.max() * headroom, 1)))))
+    uf = np.zeros(n_shards * C, dtype=np.int32)
+    vf = np.zeros(n_shards * C, dtype=np.int32)
+    gf = np.full(n_shards * C, 2 ** 31 - 1, dtype=np.int32)
+    pf = np.zeros((n_shards * C, W), dtype=payload.dtype)
+    af = np.zeros(n_shards * C, dtype=bool)
+    gid = np.arange(E, dtype=np.int32)
+    for d in range(n_shards):
+        m = dest == d
+        n = int(m.sum())
+        s = d * C
+        uf[s:s + n] = u[m]
+        vf[s:s + n] = v[m]
+        gf[s:s + n] = gid[m]
+        pf[s:s + n] = payload[m]
+        af[s:s + n] = True
+    return uf, vf, gf, pf, af, C
+
+
+def merge_batched_sharded(u, v, s, c, n_regions, mesh, dmax=4,
+                          max_supersteps=64, dtype=None, stats=None,
+                          headroom=2.0):
+    """Pooled-mean batched merge, edge-partitioned across ``mesh``.
+
+    Same contract as graph.merge_device.merge_batched_device: per-edge
+    (s, c) = (sum, count) of boundary pb, statistic = s/c
+    (util/struct_merge.hxx:38-85 semantics under splice-as-sum); returns
+    (order [max_m, 3] int32 dense-index triples, saliencies, n_merges).
+
+    ``stats`` (optional dict) receives: n_supersteps, routed_rows (edges
+    through the owner all_to_all, total), moved_rows (subset that changed
+    shard), allreduce_bytes (vertex-table pmin traffic), capacity C.
+    Raises RuntimeError if a shard's capacity overflowed (increase
+    ``headroom``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..graph.merge_device import _mean_stat_packed
+
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    D = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    R = int(n_regions)
+    sc = np.stack([np.asarray(s), np.asarray(c)], axis=1)
+    uf, vf, gf, pf, af, C = shard_merge_inputs(u, v, sc, D,
+                                               headroom=headroom)
+    fn = _build_sharded_fn(mesh, _mean_stat_packed, C, R, 2, dmax,
+                           max_supersteps, dtype)
+    order, sal, n_m, steps, routed, moved, overflow = fn(
+        jnp.asarray(uf), jnp.asarray(vf), jnp.asarray(gf),
+        jnp.asarray(pf, dtype), jnp.asarray(af))
+    if bool(overflow):
+        raise RuntimeError(
+            f"sharded merge capacity overflow (C={C}, D={D}); rerun with "
+            f"larger headroom")
+    if stats is not None:
+        n_ids = R + max(R - 1, 1)
+        stats["n_supersteps"] = int(steps)
+        stats["capacity"] = C
+        stats["routed_rows"] = int(routed)
+        stats["moved_rows"] = int(moved)
+        stats["allreduce_bytes"] = int(steps) * 4 * n_ids * 4
+        stats["a2a_padded_rows"] = int(steps) * D * C
+    return order, sal, int(n_m)
