@@ -29,8 +29,11 @@ import time
 
 import numpy as np
 
-# persistent XLA compilation cache: repeat runs skip the one-time compile
-# of the fused merge program (~1-3 min through the remote TPU tunnel)
+# persistent XLA compilation cache: the repo ships primed entries for the
+# big merge programs, so the first call on a fresh checkout skips the
+# cold compile (~10 min through the remote TPU tunnel).  NOTE env vars
+# are too late here (sitecustomize pre-imports jax); the runtime config
+# update in enable_persistent_cache() is what takes effect.
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
     os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
@@ -76,6 +79,9 @@ def main():
     # ---- device: fused batched merge (full order, one XLA program) ----
     import jax
 
+    from glia_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     log(f"device: {jax.devices()[0]}")
     u, v, s, c = edge_mean_arrays(rag, pb)
     stats = {}

@@ -131,6 +131,15 @@ def _med_tables(images, cap):
         vals = np.unique(np.asarray(img.image, np.float64))
         if len(vals) > cap:
             # sketch: uniform grid over the value range (see module doc)
+            import warnings
+
+            step = (float(vals[-1]) - float(vals[0])) / max(cap - 1, 1)
+            warnings.warn(
+                f"device median falls back to a {cap}-level uniform-grid "
+                f"sketch ({len(vals)} distinct values > cap); medians are "
+                f"exact over the quantized alphabet, off by at most one "
+                f"grid step ({step:.3g}) from the host's exact median",
+                RuntimeWarning, stacklevel=3)
             vals = np.linspace(float(vals[0]), float(vals[-1]), cap)
         tabs.append(tuple(float(v) for v in vals))
     return tuple(tabs)

@@ -21,6 +21,14 @@ os.environ.setdefault(
                  ".jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
+# env vars are too late when sitecustomize pre-imports jax; the runtime
+# config update below is what actually enables the persistent cache
+import sys as _sys  # noqa: E402
+_sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from glia_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
 import numpy as np
 
 
