@@ -113,6 +113,16 @@ def make_train_step(mesh: Mesh, n_regions_padded: int, lr=1e-3):
 # production train step: full feature width + routing-planned ragged halo
 # ---------------------------------------------------------------------------
 
+def _log_compress(x):
+    """Signed log1p on the region-context sums: segment sums over a
+    region's incident edges grow with graph size (raw counts/sums),
+    which left the MLP badly conditioned at SNEMI scale (loss stuck
+    ~7.4, round 3).  Log-compressing the context table (the same move
+    as the reference's log shape features, hmt/bc_feat.hxx) makes the
+    classifier train to a useful operating point in tens of steps."""
+    return jnp.sign(x) * jnp.log1p(jnp.abs(x))
+
+
 def halo_feat_dims(n_images=2, n_bins=16):
     """Edge feature width and MLP input width of the halo train step."""
     edge_w = n_images * (4 + n_bins) + 1          # per-image stats + count
@@ -133,6 +143,7 @@ def edge_forward_full(w, u, v, px, px_mask, edge_valid, n_regions,
     msgs = msgs * edge_valid[:, None]
     table = jax.ops.segment_sum(msgs, u, num_segments=n_regions)
     table += jax.ops.segment_sum(msgs, v, num_segments=n_regions)
+    table = _log_compress(table)
     feats = jnp.concatenate(
         [feats_e, table[u], table[v]], axis=1).astype(jnp.float32)
     D = feats.shape[1]
@@ -287,6 +298,7 @@ def make_halo_train_step(mesh: Mesh, plan, n_regions: int, n_images=2,
             out_rows.reshape(n, H, -1), EDGE_AXIS, split_axis=0,
             concat_axis=0, tiled=False).reshape(n * H, -1)
         table = jnp.concatenate([own, halo_rows], axis=0)
+        table = _log_compress(table)
         feats = jnp.concatenate(
             [feats_e, table[u_loc], table[v_loc]],
             axis=1).astype(jnp.float32)

@@ -76,6 +76,8 @@ def _oracle_loss(rag, images, labels, w, n1, n2):
     table = np.zeros((rag.n_regions, msgs.shape[1]))
     np.add.at(table, ui, msgs)
     np.add.at(table, vi, msgs)
+    # signed log1p on the context sums (parallel/train._log_compress)
+    table = np.sign(table) * np.log1p(np.abs(table))
     feats = np.concatenate([feats_e, table[ui], table[vi]], axis=1)
     edge_w, D = halo_feat_dims(len(images), BINS)
     assert feats.shape[1] == D
