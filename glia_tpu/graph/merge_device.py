@@ -600,11 +600,15 @@ def merge_batched_device(u, v, s, c, n_regions, max_supersteps=256,
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
-    if mode == "fused":
+    if mode in ("fused", "fused_ms"):
         import jax.numpy as jnp
 
         sc = jnp.stack([jnp.asarray(s, dtype), jnp.asarray(c, dtype)],
                        axis=1)
+        if mode == "fused_ms":
+            return _fused_multiphase_core(
+                u, v, (sc,), _mean_stat_packed, n_regions,
+                max_supersteps, dtype, dmax=dmax, stats=stats)
         return _fused_merge_core(u, v, (sc,), _mean_stat_packed, n_regions,
                                  max_supersteps, dtype, dmax=dmax,
                                  stats=stats)
@@ -791,3 +795,343 @@ def order_to_keys(order, n_merges, rag):
     # host engine records sorted (r0 < r1) table keys (boundary_table.hxx)
     out[:, :2] = np.sort(out[:, :2], axis=1)
     return out
+
+
+def _pow2ceil(x, lo=256):
+    return max(lo, 1 << int(np.ceil(np.log2(max(int(x), 1)))))
+
+
+def _build_phase_fn(stat_fn, E, R_loc, R_glob, max_m_glob, dmax,
+                    max_steps, dtype, payload_struct, identity_g):
+    """One PHASE of the multi-phase fused merge: the chain-contraction
+    superstep loop of _build_fused_fn, generalized to run in a COMPACT
+    local id space (edge capacity E, local vertex space R_loc +
+    max(R_loc-1, 1)) while emitting order rows in GLOBAL ids via the
+    ``g_of`` local->global table (fresh locals map affinely:
+    g(R_loc + t) = R_glob + n_m_base + t, because both spaces allocate
+    fresh ids contiguously in merge order).
+
+    Tail supersteps of the merge run on arrays ~alive-sized instead of
+    full-E/full-R (alive counts roughly halve per superstep, measured
+    2048^2: 149k -> 131k -> 65k -> 33k ..., docs/RESULTS.md), buying
+    back the sort/scatter cost that dominated the roofline gap -- with
+    NO host round-trips: phases hand device-resident state to a jitted
+    transition program (_build_trans_fn).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    key = ("phase", stat_fn, E, R_loc, R_glob, max_m_glob, dmax,
+           max_steps, str(dtype), payload_struct, identity_g)
+    fn = _JIT_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    max_m_loc = max(R_loc - 1, 1)
+    n_ids = R_loc + max_m_loc
+    idx = jnp.arange(E, dtype=jnp.int32)
+    vid = jnp.arange(n_ids, dtype=jnp.int32)
+    BIG = jnp.asarray(jnp.inf, dtype)
+    big32 = jnp.int32(2 ** 31 - 1)
+    pack_hr = (dmax + 2) * (n_ids + 1) < 2 ** 31
+    INF_H = jnp.int32(dmax + 1) if pack_hr else jnp.int32(n_ids + 7)
+
+    def run(u0, v0, payload0, alive0, g_of, n_m_base, order0, sal0):
+        Rb = (jnp.int32(R_glob) + n_m_base).astype(jnp.int32)
+
+        def gfun(x):
+            if identity_g:
+                return x
+            base = g_of[jnp.clip(x, 0, R_loc - 1)]
+            return jnp.where(x < R_loc, base, Rb + (x - R_loc))
+
+        def cond(state):
+            step, n_loc, u, v, payload, alive, order, sal = state
+            return ((step < max_steps) & alive.any()
+                    & (n_loc < max_m_loc)
+                    & (n_m_base + n_loc < max_m_glob))
+
+        def body(state):
+            step, n_loc, u, v, payload, alive, order, sal = state
+            stat = jnp.where(alive, stat_fn(payload), BIG)
+            bits = jax.lax.bitcast_convert_type(
+                stat.astype(jnp.float32), jnp.int32)
+            bits = jnp.where(alive, bits, big32)
+
+            rbits = jnp.full(n_ids, big32, jnp.int32)
+            rbits = rbits.at[u].min(bits).at[v].min(bits)
+            at_min_u = alive & (rbits[u] == bits)
+            at_min_v = alive & (rbits[v] == bits)
+            ridx = jnp.full(n_ids, E, jnp.int32)
+            ridx = ridx.at[u].min(jnp.where(at_min_u, idx, E))
+            ridx = ridx.at[v].min(jnp.where(at_min_v, idx, E))
+            m = ridx
+            uv_pad = jnp.concatenate(
+                [jnp.stack([u, v], axis=1),
+                 jnp.full((1, 2), n_ids, jnp.int32)], axis=0)
+            muv = uv_pad[jnp.minimum(m, E)]
+            mu = muv[:, 0]
+            mv = muv[:, 1]
+            parent = jnp.where(m < E, jnp.where(mu == vid, mv, mu), vid)
+            is_root = (parent[parent] == vid) & (vid < parent)
+
+            if pack_hr:
+                W = jnp.int32(n_ids + 1)
+                known_lim = INF_H * W
+                code = jnp.where(is_root, vid,
+                                 known_lim + jnp.int32(n_ids))
+                for _ in range(dmax):
+                    cp = code[parent]
+                    code = jnp.where(
+                        code < known_lim, code,
+                        jnp.where(cp < known_lim, cp + W, code))
+                h = code // W
+                rt = jnp.where(code < known_lim, code % W,
+                               jnp.int32(n_ids))
+            else:
+                h = jnp.where(is_root, 0, INF_H)
+                rt = jnp.where(is_root, vid, jnp.int32(n_ids))
+                for _ in range(dmax):
+                    hp = h[parent]
+                    h = jnp.minimum(
+                        h, jnp.where(hp < INF_H, hp + 1, INF_H))
+                    rt = jnp.where(rt < n_ids, rt, rt[parent])
+            attach = (h >= 1) & (h <= dmax) & (m < E)
+
+            bits_pad = jnp.concatenate(
+                [bits, jnp.full(1, big32, jnp.int32)])
+            mbits = bits_pad[jnp.minimum(m, E)]
+            rt_key = jnp.where(attach | is_root, rt, jnp.int32(n_ids))
+            b_key = jnp.where(attach, mbits, jnp.int32(-2 ** 31))
+            h_key = jnp.where(attach | is_root, h, INF_H)
+            rt_s, _, h_s, vs = jax.lax.sort(
+                (rt_key, b_key, h_key, vid), num_keys=4)
+            is_merge = (rt_s < n_ids) & (h_s >= 1)
+            grank = jnp.cumsum(is_merge.astype(jnp.int32)) - 1
+            first = jnp.concatenate(
+                [jnp.ones(1, bool), rt_s[1:] != rt_s[:-1]])
+            first_in_run = is_merge & (
+                jnp.concatenate([jnp.ones(1, bool), ~is_merge[:-1]])
+                | first)
+            r2g = Rb + n_loc + grank
+            ok = (is_merge & (n_loc + grank < max_m_loc)
+                  & (n_m_base + n_loc + grank < max_m_glob))
+            n_new = ok.sum().astype(jnp.int32)
+
+            m_s = m[vs]
+            stat_pad = jnp.concatenate([stat, jnp.zeros(1, stat.dtype)])
+            sal_rows = -stat_pad[jnp.minimum(m_s, E)]
+
+            r0g = jnp.where(first_in_run, gfun(rt_s), r2g - 1)
+            rows = jnp.stack(
+                [r0g.astype(jnp.int32), gfun(vs).astype(jnp.int32),
+                 r2g.astype(jnp.int32)], axis=1)
+            slot = jnp.where(ok, n_m_base + n_loc + grank, max_m_glob)
+            order_pad = jnp.concatenate(
+                [order, jnp.full((1, 3), -1, jnp.int32)], axis=0)
+            order = order_pad.at[slot].set(
+                jnp.where(ok[:, None], rows, -1))[:max_m_glob]
+            sal_pad = jnp.concatenate([sal, jnp.zeros(1, sal.dtype)])
+            sal = sal_pad.at[slot].set(
+                jnp.where(ok, sal_rows.astype(sal.dtype),
+                          0.0))[:max_m_glob]
+
+            run_id = jnp.cumsum(first.astype(jnp.int32)) - 1
+            last_rank = jnp.full(n_ids + 1, -1, jnp.int32)
+            last_rank = last_rank.at[run_id].max(
+                jnp.where(ok, grank, -1))
+            fin = R_loc + n_loc + last_rank[run_id]
+            contracted = ((rt_s < n_ids) & (last_rank[run_id] >= 0)
+                          & (ok | (h_s == 0)))
+            lut = vid.at[jnp.where(contracted, vs, n_ids - 1)].set(
+                jnp.where(contracted, fin.astype(jnp.int32),
+                          jnp.int32(n_ids - 1)))
+
+            used = jnp.zeros(E + 1, bool)
+            used = used.at[jnp.where(ok, jnp.minimum(m_s, E), E)].set(
+                jnp.where(ok, True, used[E]))
+            u2 = lut[u]
+            v2 = lut[v]
+            alive2 = alive & ~used[:E] & (u2 != v2)
+
+            lo_k = jnp.where(alive2, jnp.minimum(u2, v2),
+                             jnp.int32(n_ids))
+            hi_k = jnp.where(alive2, jnp.maximum(u2, v2), idx)
+            lo_s, hi_s, perm = jax.lax.sort((lo_k, hi_k, idx),
+                                            num_keys=2)
+            uv3 = jnp.take(jnp.stack([u2, v2], axis=1), perm, axis=0)
+            u3 = uv3[:, 0]
+            v3 = uv3[:, 1]
+            alive_s = jnp.take(alive2, perm)
+            pfirst = jnp.concatenate(
+                [jnp.ones(1, bool),
+                 (lo_s[1:] != lo_s[:-1]) | (hi_s[1:] != hi_s[:-1])])
+            seg_id = jnp.cumsum(pfirst.astype(jnp.int32)) - 1
+            keep = pfirst & alive_s
+            combined = []
+            for p in payload:
+                ps = jnp.take(p, perm, axis=0)
+                pz = jnp.where(
+                    alive_s[:, None] if ps.ndim == 2 else alive_s,
+                    ps, 0.0)
+                pseg = jax.ops.segment_sum(pz, seg_id, num_segments=E)
+                combined.append(jnp.where(
+                    keep[:, None] if ps.ndim == 2 else keep,
+                    pseg[seg_id], ps))
+            payload = tuple(combined)
+            return (step + 1, n_loc + n_new, u3, v3, payload,
+                    alive_s & keep, order, sal)
+
+        st = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), jnp.int32(0), u0, v0, payload0, alive0,
+             order0, sal0))
+        step, n_loc, u, v, payload, alive, order, sal = st
+        return u, v, payload, alive, order, sal, n_loc, step
+
+    fn = jax.jit(run)
+    _JIT_CACHE[key] = fn
+    return fn
+
+
+def _build_trans_fn(E_prev, R_loc_prev, R_glob, E2, R2_cap, dtype,
+                    payload_struct):
+    """Phase transition: compact alive edges to capacity E2 and remap the
+    active vertex set into [0, R2_cap), composing the local->global id
+    table.  All device-side; returns an overflow flag instead of ever
+    dropping data (the caller falls back to the full-capacity engine)."""
+    import jax
+    import jax.numpy as jnp
+
+    key = ("trans", E_prev, R_loc_prev, R_glob, E2, R2_cap, str(dtype),
+           payload_struct)
+    fn = _JIT_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    max_m_prev = max(R_loc_prev - 1, 1)
+    n_vert_prev = R_loc_prev + max_m_prev
+
+    def run(u, v, payload, alive, g_of_prev, n_m_base_prev):
+        lid = jnp.arange(n_vert_prev, dtype=jnp.int32)
+        Rb = (jnp.int32(R_glob) + n_m_base_prev).astype(jnp.int32)
+        gl = jnp.where(
+            lid < R_loc_prev,
+            g_of_prev[jnp.clip(lid, 0, R_loc_prev - 1)],
+            Rb + (lid - R_loc_prev))
+        pres = jnp.zeros(n_vert_prev + 1, bool)
+        dump = jnp.int32(n_vert_prev)
+        pres = pres.at[jnp.where(alive, u, dump)].set(
+            jnp.where(alive, True, pres[dump]))
+        pres = pres.at[jnp.where(alive, v, dump)].set(
+            jnp.where(alive, True, pres[dump]))
+        pres = pres[:n_vert_prev]
+        new_id = (jnp.cumsum(pres.astype(jnp.int32)) - 1)
+        R2 = pres.sum().astype(jnp.int32)
+        ovf_v = R2 > R2_cap
+        g2 = jnp.zeros(R2_cap + 1, jnp.int32)
+        g2 = g2.at[jnp.where(pres, jnp.clip(new_id, 0, R2_cap - 1),
+                             R2_cap)].set(
+            jnp.where(pres, gl, 0))[:R2_cap]
+        rank = jnp.cumsum(alive.astype(jnp.int32)) - 1
+        n_alive = alive.sum().astype(jnp.int32)
+        ovf_e = n_alive > E2
+        sl = jnp.where(alive, jnp.clip(rank, 0, E2 - 1), E2)
+        u2 = jnp.zeros(E2 + 1, jnp.int32).at[sl].set(
+            jnp.where(alive, new_id[u], 0))[:E2]
+        v2 = jnp.zeros(E2 + 1, jnp.int32).at[sl].set(
+            jnp.where(alive, new_id[v], 0))[:E2]
+        a2 = jnp.zeros(E2 + 1, bool).at[sl].set(alive)[:E2]
+        p2 = []
+        for p in payload:
+            if p.ndim == 2:
+                buf = jnp.zeros((E2 + 1, p.shape[1]), p.dtype)
+                p2.append(buf.at[sl].set(
+                    jnp.where(alive[:, None], p, 0.0))[:E2])
+            else:
+                buf = jnp.zeros(E2 + 1, p.dtype)
+                p2.append(buf.at[sl].set(
+                    jnp.where(alive, p, 0.0))[:E2])
+        return u2, v2, tuple(p2), a2, g2, ovf_v | ovf_e
+
+    fn = jax.jit(run)
+    _JIT_CACHE[key] = fn
+    return fn
+
+
+def _fused_multiphase_core(u, v, payload, stat_fn, n_regions,
+                           max_supersteps, dtype, dmax=4, plan=None,
+                           stats=None):
+    """Multi-phase fused merge: full-capacity supersteps first, then
+    device-side transitions into geometrically smaller edge/vertex
+    capacities for the tail (alive counts roughly halve per superstep).
+    Same hierarchy semantics as mode="fused" (selection rule and chain
+    emission identical; tie-breaks differ only through array positions,
+    which both engines already reshuffle every superstep).
+
+    plan: list of (steps, edge_frac, vert_frac); the final entry runs to
+    completion.  Conservative default measured at 2048^2; any capacity
+    overflow falls back to the single-phase engine (correctness is never
+    capacity-dependent).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    E = len(u)
+    R = int(n_regions)
+    max_m = max(R - 1, 1)
+    if plan is None:
+        plan = [(2, 1.0, 1.0), (2, 0.45, 0.55), (None, 0.12, 0.2)]
+
+    payload0 = tuple(jnp.asarray(p, dtype) for p in payload)
+    struct = tuple((len(p.shape), str(p.dtype)) for p in payload0)
+    u_d = jnp.asarray(u, jnp.int32)
+    v_d = jnp.asarray(v, jnp.int32)
+    alive_d = jnp.ones(E, bool)
+    order_d = jnp.full((max_m, 3), -1, jnp.int32)
+    sal_d = jnp.zeros(max_m, dtype)
+    g_of = jnp.arange(R, dtype=jnp.int32)
+    E_cur, R_cur = E, R
+    n_base = jnp.int32(0)
+    total_steps = 0
+    ovf_any = jnp.asarray(False)
+    payload_d = payload0
+    for pi, (steps, ef, vf) in enumerate(plan):
+        last = pi == len(plan) - 1
+        steps_k = max_supersteps if steps is None or last else steps
+        fn = _build_phase_fn(stat_fn, E_cur, R_cur, R, max_m, dmax,
+                             steps_k, dtype, struct, identity_g=(pi == 0))
+        base_start = n_base  # fresh locals of THIS phase map with the
+        # base at phase START (affine rule); pass the same value to the
+        # following transition when it composes the id table
+        (u_d, v_d, payload_d, alive_d, order_d, sal_d, n_loc,
+         step_done) = fn(u_d, v_d, payload_d, alive_d, g_of, base_start,
+                         order_d, sal_d)
+        n_base = base_start + n_loc
+        total_steps += steps_k  # upper bound; real count read at end
+        if last:
+            break
+        E2 = _pow2ceil(E * plan[pi + 1][1])
+        R2_cap = _pow2ceil(R * plan[pi + 1][2], lo=128)
+        tf = _build_trans_fn(E_cur, R_cur, R, E2, R2_cap, dtype, struct)
+        u_d, v_d, payload_d, alive_d, g_of, ovf = tf(
+            u_d, v_d, payload_d, alive_d, g_of, base_start)
+        ovf_any = ovf_any | ovf
+        E_cur, R_cur = E2, R2_cap
+
+    n_m_total = int(n_base)
+    leftover = bool(alive_d.any())
+    if bool(ovf_any) or leftover:
+        # capacity plan too tight for this RAG: fall back to the
+        # single-phase engine (slower, never wrong)
+        if stats is not None:
+            stats["fallback"] = True
+        return _fused_merge_core(u, v, payload, stat_fn, n_regions,
+                                 max_supersteps, dtype, dmax=dmax,
+                                 stats=stats)
+    if stats is not None:
+        stats["n_supersteps"] = total_steps
+        stats["buckets"] = [_pow2ceil(E * f[1]) if i else E
+                            for i, f in enumerate(plan)]
+        stats["fallback"] = False
+    return order_d, sal_d, n_m_total

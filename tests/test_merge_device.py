@@ -248,3 +248,70 @@ def test_threshold_cut_drift_bounded_at_1024():
     seg_b = apply_merge_order(seg, okeys[mask])
     _, _, vi_b = eval_vi(seg_b, data["truth"])
     assert abs(vi_b - vi_h) <= 0.005, (vi_b, vi_h)
+
+
+def test_multiphase_engine_matches_fused():
+    """mode="fused_ms" (device-side capacity-shrinking phases) must build
+    the same hierarchy as mode="fused": same merge count, no fallback,
+    and identical threshold-cut components on exact replayed saliencies."""
+    import scipy.ndimage as ndi
+
+    from glia_tpu.graph.merge import apply_merge_order
+    from glia_tpu.graph.merge_device import (
+        replay_exact_saliency, threshold_cut)
+    from glia_tpu.metrics import eval_vi
+    from glia_tpu.native import greedy_merge_native
+
+    data = synthetic_em_slice((192, 192), n_cells=100, seed=31,
+                              blur=1.2, noise=0.12)
+    seg = watershed_native(ndi.gaussian_filter(data["pb"], 1.0),
+                           level=0.004)
+    rag = build_rag(seg, contour_only=False)
+    u, v, s, c = edge_mean_arrays(rag, data["pb"])
+    R = rag.n_regions
+    o1, _, n1 = merge_batched_device(u, v, s, c, R, mode="fused")
+    st = {}
+    o2, _, n2 = merge_batched_device(u, v, s, c, R, mode="fused_ms",
+                                     stats=st)
+    assert n2 == n1
+    assert st.get("fallback") is False
+    order_h, sal_h = greedy_merge_native(rag, data["pb"], policy="mean")
+    k = R - 100
+    tau = -sal_h[k - 1]
+    ok1 = order_to_keys(o1, n1, rag)
+    ok2 = order_to_keys(o2, n2, rag)
+    ex1 = replay_exact_saliency(u, v, s, c, np.asarray(o1)[:n1])
+    ex2 = replay_exact_saliency(u, v, s, c, np.asarray(o2)[:n2])
+    assert not np.isnan(ex2).any()
+    sa = apply_merge_order(seg, ok1[threshold_cut(ok1, ex1, tau)])
+    sb = apply_merge_order(seg, ok2[threshold_cut(ok2, ex2, tau)])
+    _, _, vi_cross = eval_vi(sa, sb)
+    assert vi_cross == 0.0
+
+
+def test_multiphase_fallback_on_tight_plan():
+    """An over-tight capacity plan must FALL BACK to the single-phase
+    engine (correctness is never capacity-dependent), flagged in stats."""
+    import scipy.ndimage as ndi
+
+    from glia_tpu.graph.merge_device import _fused_multiphase_core, _mean_stat_packed
+    import jax.numpy as jnp
+
+    data = synthetic_em_slice((256, 256), n_cells=160, seed=31,
+                              blur=1.2, noise=0.12)
+    seg = watershed_native(ndi.gaussian_filter(data["pb"], 1.0), 0.004)
+    rag = build_rag(seg, contour_only=False)
+    u, v, s, c = edge_mean_arrays(rag, data["pb"])
+    R = rag.n_regions
+    assert rag.n_edges > 2048  # caps below floor at the 256-row minimum
+    dtype = jnp.float64
+    sc = jnp.stack([jnp.asarray(s, dtype), jnp.asarray(c, dtype)], axis=1)
+    st = {}
+    # edge/vertex caps at the 256/128-row floor after ONE superstep
+    # cannot hold the survivors -> overflow -> fallback
+    o, sal, n_m = _fused_multiphase_core(
+        u, v, (sc,), _mean_stat_packed, R, 256, dtype,
+        plan=[(1, 1.0, 1.0), (None, 0.002, 0.002)], stats=st)
+    assert st.get("fallback") is True
+    o1, _, n1 = merge_batched_device(u, v, s, c, R, mode="fused")
+    assert n_m == n1
