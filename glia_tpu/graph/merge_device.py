@@ -675,7 +675,7 @@ def threshold_cut(order, stats, tau):
     return mono <= tau
 
 
-def replay_exact_saliency(u, v, s, c, order):
+def replay_exact_saliency(u, v, s, c, order, engine="native"):
     """Serial host replay of a merge order recomputing each merge's EXACT
     pooled-mean boundary statistic at merge time.
 
@@ -689,10 +689,19 @@ def replay_exact_saliency(u, v, s, c, order):
 
     order rows are dense-index triples (r0, r1, r2).  Returns stat [n]
     (pooled mean of each merge's boundary at merge time; saliency = -stat).
-    O(E + sum degree) with hash tables; ~0.3 s per 10k merges.
+    O(E + sum degree) with hash tables; engine="native" (default) runs
+    the C++ replay (~50x the Python dicts at 1M+ edges), engine="py" the
+    Python oracle (tests assert they agree).
     """
     s = np.asarray(s, dtype=np.float64)
     c = np.asarray(c, dtype=np.float64)
+    order_a = np.asarray(order, dtype=np.int64).reshape(-1, 3)
+    if engine == "native":
+        from ..native import replay_saliency_native
+
+        hi = int(max(np.max(order_a, initial=0),
+                     np.max(u, initial=0), np.max(v, initial=0))) + 1
+        return replay_saliency_native(u, v, s, c, order_a, hi)
     tbl = {}
     nbrs = {}
     for ui, vi, si, ci in zip(np.asarray(u).tolist(),

@@ -62,6 +62,10 @@ def get_lib():
         lib.glia_connected_components.argtypes = [
             p_i32, ctypes.c_void_p, p_i64, ctypes.c_int, p_i32,
         ]
+        lib.glia_replay_saliency.restype = None
+        lib.glia_replay_saliency.argtypes = [
+            i64, p_i32, p_i32, p_f64, p_f64, i64, i64, p_i32, p_f64,
+        ]
         _lib = lib
         return _lib
 
@@ -130,6 +134,24 @@ def pre_merge_native(rag, pb_image, size_thresholds=(50,),
         order, sals, max_merges,
     )
     return order[: n * 3].reshape(-1, 3).copy(), sals[:n].copy()
+
+
+def replay_saliency_native(u, v, s, c, order, n_ids):
+    """Serial replay of a fixed merge order recomputing each merge's exact
+    pooled-mean boundary statistic (see graph/merge_device.
+    replay_exact_saliency; this is its C++ engine -- ~50x the Python dict
+    replay at 1M+ edges)."""
+    lib = get_lib()
+    u = np.ascontiguousarray(u, dtype=np.int32)
+    v = np.ascontiguousarray(v, dtype=np.int32)
+    s = np.ascontiguousarray(s, dtype=np.float64)
+    c = np.ascontiguousarray(c, dtype=np.float64)
+    order = np.ascontiguousarray(order, dtype=np.int32).reshape(-1, 3)
+    n = len(order)
+    out = np.empty(max(n, 1), dtype=np.float64)
+    lib.glia_replay_saliency(len(u), u, v, s, c, int(n_ids), n,
+                             np.ascontiguousarray(order.ravel()), out)
+    return out[:n]
 
 
 def watershed_native(image, level=0.0):

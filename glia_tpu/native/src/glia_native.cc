@@ -20,6 +20,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <queue>
 #include <unordered_map>
 #include <unordered_set>
@@ -254,6 +255,62 @@ i64 glia_greedy_merge_premerge(
                            out_order, out_saliencies, max_merges,
                            /*use_premerge=*/1, t0, t1, rpb_threshold,
                            region_pb_sums);
+}
+
+// Replay a FIXED merge order through a (sum, count) boundary table,
+// writing each merge's exact pooled-mean statistic at merge time -- the
+// quantity the reference's serial engine uses as saliency at its pop
+// (boundary_table.hxx:122-167 update semantics with the order imposed).
+// order rows are dense-index triples (r0, r1, r2), ids < n_ids.  A pair
+// not adjacent at its turn writes NaN and is skipped.
+void glia_replay_saliency(i64 n_edges, const i32* u, const i32* v,
+                          const double* s, const double* c, i64 n_ids,
+                          i64 n_merges, const i32* order, double* out) {
+  std::vector<std::unordered_map<i64, std::pair<double, double>>> adj(n_ids);
+  for (i64 e = 0; e < n_edges; ++e) {
+    i64 a = u[e], b = v[e];
+    if (a == b || a < 0 || b < 0 || a >= n_ids || b >= n_ids) continue;
+    auto& pa = adj[a][b];
+    pa.first += s[e];
+    pa.second += c[e];
+    auto& pb = adj[b][a];
+    pb.first += s[e];
+    pb.second += c[e];
+  }
+  for (i64 i = 0; i < n_merges; ++i) {
+    i64 a = order[3 * i], b = order[3 * i + 1], r2 = order[3 * i + 2];
+    if (a < 0 || b < 0 || r2 < 0 || a >= n_ids || b >= n_ids ||
+        r2 >= n_ids) {
+      out[i] = std::numeric_limits<double>::quiet_NaN();
+      continue;
+    }
+    auto ita = adj[a].find(b);
+    if (ita == adj[a].end()) {
+      out[i] = std::numeric_limits<double>::quiet_NaN();
+      continue;
+    }
+    out[i] = ita->second.first / std::max(ita->second.second, 1.0);
+    adj[a].erase(b);
+    adj[b].erase(a);
+    i64 big = a, small = b;
+    if (adj[big].size() < adj[small].size()) std::swap(big, small);
+    for (auto& kv : adj[small]) {
+      auto& tgt = adj[big][kv.first];
+      tgt.first += kv.second.first;
+      tgt.second += kv.second.second;
+      adj[kv.first].erase(small);
+    }
+    adj[small].clear();
+    if (big != r2) {
+      adj[r2] = std::move(adj[big]);
+      adj[big].clear();
+    }
+    for (auto& kv : adj[r2]) {
+      i64 nbr = kv.first;
+      adj[nbr].erase(big);
+      adj[nbr][r2] = kv.second;
+    }
+  }
 }
 
 }  // extern "C"

@@ -315,3 +315,21 @@ def test_multiphase_fallback_on_tight_plan():
     assert st.get("fallback") is True
     o1, _, n1 = merge_batched_device(u, v, s, c, R, mode="fused")
     assert n_m == n1
+
+
+def test_replay_native_matches_python():
+    """The C++ replay engine equals the Python oracle replay."""
+    import scipy.ndimage as ndi
+
+    from glia_tpu.graph.merge_device import replay_exact_saliency
+
+    data = synthetic_em_slice((96, 96), n_cells=20, seed=41)
+    seg = watershed_native(ndi.gaussian_filter(data["pb"], 1.0), 0.01)
+    rag = build_rag(seg, contour_only=False)
+    u, v, s, c = edge_mean_arrays(rag, data["pb"])
+    ob, sb, nb = merge_batched_device(u, v, s, c, rag.n_regions)
+    order = np.asarray(ob)[:nb]
+    got_n = replay_exact_saliency(u, v, s, c, order, engine="native")
+    got_p = replay_exact_saliency(u, v, s, c, order, engine="py")
+    assert not np.isnan(got_n).any()
+    np.testing.assert_allclose(got_n, got_p, rtol=1e-12, atol=1e-12)
