@@ -101,7 +101,11 @@ def test_entry_compiles():
 
     fn, args = entry()
     out = jax.jit(fn)(*args)
-    assert np.asarray(out).shape == (64,)
+    # entry() runs the flagship forward on a real 512^2 watershed RAG;
+    # one probability per RAG edge (exact count varies with the RAG)
+    n_edges = np.asarray(args[1]).shape[0]
+    assert np.asarray(out).shape == (n_edges,)
+    assert n_edges > 5000
     assert np.isfinite(np.asarray(out)).all()
 
 

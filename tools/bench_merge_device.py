@@ -5,7 +5,8 @@ remote-compile tunnel and beat the host C++ exact-serial engine
 (~313k edges/s) at >=100k-edge RAGs, with threshold-cut VI parity
 (tested separately in tests/test_merge_device.py).
 
-Usage: python tools/bench_merge_device.py [side] [n_cells]
+Usage: python tools/bench_merge_device.py [side] [n_cells] [mode]
+mode: fused (default) | fused_ms (multi-phase shrinking capacities)
 """
 
 import os
@@ -39,6 +40,7 @@ def log(*a):
 def main():
     side = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     n_cells = int(sys.argv[2]) if len(sys.argv) > 2 else (side // 14) ** 2
+    mode = sys.argv[3] if len(sys.argv) > 3 else "fused"
 
     import scipy.ndimage as ndi
 
@@ -72,7 +74,7 @@ def main():
     t0 = time.time()
     stats = {}
     order_b, sal_b, n_m = merge_batched_device(u, v, s, c, rag.n_regions,
-                                               stats=stats)
+                                               stats=stats, mode=mode)
     first_dt = time.time() - t0
     log(f"supersteps={stats.get('n_supersteps')} buckets={stats.get('buckets')}")
     log(f"first call (compile+run): {first_dt:.1f}s, {n_m} merges")
@@ -91,7 +93,7 @@ def main():
     for _ in range(3):
         t0 = time.time()
         order_b, sal_b, n_m = merge_batched_device(
-            u_d, v_d, s_d, c_d, rag.n_regions, stats=stats)
+            u_d, v_d, s_d, c_d, rag.n_regions, stats=stats, mode=mode)
         run_dt = min(run_dt, time.time() - t0)
     dev_edges_s = (rag.n_edges + n_m) / run_dt
     log(f"steady-state run: {run_dt:.3f}s -> {dev_edges_s:,.0f} edges/s "
