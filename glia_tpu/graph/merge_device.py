@@ -26,6 +26,7 @@ when composed with the RAG's key table.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import numpy as np
@@ -810,6 +811,16 @@ def _pow2ceil(x, lo=256):
     return max(lo, 1 << int(np.ceil(np.log2(max(int(x), 1)))))
 
 
+def _tile_ceil(x, lo=256, tile=256):
+    """Round a phase capacity up to a lane-tile multiple (2x128 lanes).
+
+    Static shapes only need to be fixed, not powers of two; pow2 rounding
+    wasted up to 2x on the multi-phase tail (0.45*149084 -> 131072 where
+    67328 suffices), and every superstep pass scales with the capacity.
+    """
+    return max(lo, ((max(int(x), 1) + tile - 1) // tile) * tile)
+
+
 def _build_phase_fn(stat_fn, E, R_loc, R_glob, max_m_glob, dmax,
                     max_steps, dtype, payload_struct, identity_g):
     """One PHASE of the multi-phase fused merge: the chain-contraction
@@ -1113,19 +1124,40 @@ def _fused_multiphase_core(u, v, payload, stat_fn, n_regions,
         base_start = n_base  # fresh locals of THIS phase map with the
         # base at phase START (affine rule); pass the same value to the
         # following transition when it composes the id table
+        debug = stats is not None and os.environ.get("GLIA_MERGE_DEBUG")
+        if debug:
+            import time as _time
+
+            import jax as _jax
+
+            _jax.block_until_ready((u_d, v_d, payload_d, alive_d))
+            _t0 = _time.time()
         (u_d, v_d, payload_d, alive_d, order_d, sal_d, n_loc,
          step_done) = fn(u_d, v_d, payload_d, alive_d, g_of, base_start,
                          order_d, sal_d)
+        if debug:
+            _jax.block_until_ready((u_d, alive_d, order_d))
+            stats.setdefault("phase_s", []).append(
+                round(_time.time() - _t0, 4))
+            stats.setdefault("phase_steps", []).append(int(step_done))
         n_base = base_start + n_loc
         total_steps += steps_k  # upper bound; real count read at end
         if last:
             break
-        E2 = _pow2ceil(E * plan[pi + 1][1])
-        R2_cap = _pow2ceil(R * plan[pi + 1][2], lo=128)
+        E2 = _tile_ceil(E * plan[pi + 1][1])
+        R2_cap = _tile_ceil(R * plan[pi + 1][2], lo=128, tile=128)
         tf = _build_trans_fn(E_cur, R_cur, R, E2, R2_cap, dtype, struct)
+        if debug:
+            _t0 = _time.time()
         u_d, v_d, payload_d, alive_d, g_of, ovf = tf(
             u_d, v_d, payload_d, alive_d, g_of, base_start)
         ovf_any = ovf_any | ovf
+        if debug:
+            _jax.block_until_ready(alive_d)
+            stats.setdefault("trans_s", []).append(
+                round(_time.time() - _t0, 4))
+            stats.setdefault("alive_at_transition", []).append(
+                int(alive_d.sum()))
         E_cur, R_cur = E2, R2_cap
 
     n_m_total = int(n_base)
@@ -1140,7 +1172,7 @@ def _fused_multiphase_core(u, v, payload, stat_fn, n_regions,
                                  stats=stats)
     if stats is not None:
         stats["n_supersteps"] = total_steps
-        stats["buckets"] = [_pow2ceil(E * f[1]) if i else E
+        stats["buckets"] = [_tile_ceil(E * f[1]) if i else E
                             for i, f in enumerate(plan)]
         stats["fallback"] = False
     return order_d, sal_d, n_m_total

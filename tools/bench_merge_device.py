@@ -98,6 +98,9 @@ def main():
     dev_edges_s = (rag.n_edges + n_m) / run_dt
     log(f"steady-state run: {run_dt:.3f}s -> {dev_edges_s:,.0f} edges/s "
         f"({dev_edges_s/host_edges_s:.1f}x host)")
+    for k in ("phase_s", "phase_steps", "trans_s", "alive_at_transition"):
+        if k in stats:
+            log(f"  {k}: {stats[k]}")
 
     # threshold-cut quality parity vs serial
     from glia_tpu.graph.merge import apply_merge_order
