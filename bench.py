@@ -40,6 +40,12 @@ os.environ.setdefault(
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
 SIDE = int(os.environ.get("GLIA_BENCH_SIDE", "2048"))
+# fused_ms: multi-phase fused merge (device-side capacity-shrinking tail
+# phases; identical cut components, tests/test_merge_device.py) -- the
+# fastest engine measured at this scale (1.31M edges/s vs 776k
+# single-phase, docs/RESULTS.md section 1).  Both its programs and the
+# single-phase fallback ship primed compile-cache entries.
+MODE = os.environ.get("GLIA_BENCH_MODE", "fused_ms")
 
 
 def log(*a):
@@ -86,7 +92,8 @@ def main():
     u, v, s, c = edge_mean_arrays(rag, pb)
     stats = {}
     t0 = time.time()
-    order_b, sal_b, n_m = merge_batched_device(u, v, s, c, R, stats=stats)
+    order_b, sal_b, n_m = merge_batched_device(u, v, s, c, R, stats=stats,
+                                               mode=MODE)
     compile_dt = time.time() - t0
     log(f"first call (compile+run): {compile_dt:.1f}s, {n_m} merges, "
         f"{stats['n_supersteps']} supersteps")
@@ -105,7 +112,7 @@ def main():
     for _ in range(3):
         t0 = time.time()
         order_b, sal_b, n_m = merge_batched_device(u_d, v_d, s_d, c_d, R,
-                                                   stats=stats)
+                                                   stats=stats, mode=MODE)
         run_dt = min(run_dt, time.time() - t0)
     dev_edges_s = (E + n_m) / run_dt
     log(f"device fused merge: {n_m} merges in {run_dt:.3f}s -> "
