@@ -842,7 +842,8 @@ def _build_phase_fn(stat_fn, E, R_loc, R_glob, max_m_glob, dmax,
     import jax.numpy as jnp
 
     key = ("phase", stat_fn, E, R_loc, R_glob, max_m_glob, dmax,
-           max_steps, str(dtype), payload_struct, identity_g)
+           max_steps, str(dtype), payload_struct, identity_g,
+           bool(os.environ.get("GLIA_MERGE_UNROLL")))
     fn = _JIT_CACHE.get(key)
     if fn is not None:
         return fn
@@ -1002,10 +1003,18 @@ def _build_phase_fn(stat_fn, E, R_loc, R_glob, max_m_glob, dmax,
             return (step + 1, n_loc + n_new, u3, v3, payload,
                     alive_s & keep, order, sal)
 
-        st = jax.lax.while_loop(
-            cond, body,
-            (jnp.int32(0), jnp.int32(0), u0, v0, payload0, alive0,
-             order0, sal0))
+        st = (jnp.int32(0), jnp.int32(0), u0, v0, payload0, alive0,
+              order0, sal0)
+        if max_steps <= 2 and os.environ.get("GLIA_MERGE_UNROLL"):
+            # experimental: straight-line the fixed-count phases --
+            # while_loop pays per-iteration carry layout copies; the
+            # body is a no-op on an empty frontier, so unconditional
+            # unrolling is safe.  Off by default so the shipped primed
+            # compile-cache entries stay valid.
+            for _ in range(max_steps):
+                st = body(st)
+        else:
+            st = jax.lax.while_loop(cond, body, st)
         step, n_loc, u, v, payload, alive, order, sal = st
         return u, v, payload, alive, order, sal, n_loc, step
 

@@ -90,16 +90,32 @@ def bc_midcut_compare(side=512, n_cells=None, n_trees=60, seed=9,
     cfg = FeatureConfig.standard(te["pb"], te["intensity"], n_bins=16)
     log(f"test RAG: {rag.n_regions} regions, {rag.n_edges} edges")
 
-    # host serial classifier-in-the-loop order
+    # host serial classifier-in-the-loop order.  Hours-long at 2048^2, so
+    # it is disk-cached: a serial-only pass (GLIA_MIDCUT_SERIAL_ONLY=1,
+    # typically with GLIA_FORCE_CPU=1 so no TPU session is held) can run
+    # detached, and a later chip pass reuses the order.
     def predict_batch(F):
         return predict_label_fraction(model, F, label=-1)
 
-    t0 = time.time()
-    order_h, probs_h = greedy_merge_bc(
-        rag, cfg, lambda f: float(predict_batch(f[None, :])[0]),
-        predict_batch=predict_batch)
-    log(f"host serial BC order: {len(order_h)} merges "
-        f"({time.time()-t0:.1f}s)")
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))),
+        f".cache_midcut_{side}_{n_cells}_{n_trees}_{seed}.npz")
+    if os.path.exists(cache):
+        d = np.load(cache)
+        order_h, probs_h = d["order"], d["probs"]
+        log(f"host serial BC order: {len(order_h)} merges (cached)")
+    else:
+        t0 = time.time()
+        order_h, probs_h = greedy_merge_bc(
+            rag, cfg, lambda f: float(predict_batch(f[None, :])[0]),
+            predict_batch=predict_batch)
+        log(f"host serial BC order: {len(order_h)} merges "
+            f"({time.time()-t0:.1f}s)")
+        np.savez(cache, order=np.asarray(order_h),
+                 probs=np.asarray(probs_h))
+    if os.environ.get("GLIA_MIDCUT_SERIAL_ONLY"):
+        log("serial-only pass done; rerun without the flag for the table")
+        return []
 
     # device superstep order
     predict_dev, consts = make_label_scorer(model, label=-1, embed=True)
