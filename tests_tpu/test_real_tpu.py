@@ -154,7 +154,9 @@ def test_hist_median_fused_on_chip():
 
 def test_tree_scan_on_chip():
     """Per-level merge-tree activations (DFS-interval prefix sums)
-    compiled on the chip bit-match the host hierarchical oracle."""
+    compiled on the chip match the host hierarchical oracle: cnt/min/max
+    exactly, additive sums to float32 prefix-sum tolerance (the chip
+    path runs f32; the CPU suite checks the f64 path bit-exactly)."""
     from glia_tpu.data.synthetic import synthetic_em_slice
     from glia_tpu.features.config import FeatureConfig
     from glia_tpu.features.hierarchical import TreeFeatures
@@ -179,14 +181,18 @@ def test_tree_scan_on_chip():
         ("max", "max"): st["max"][leaf_nodes][:, None],
     }
     out = node_region_stats_device(tree, leaf_stats)
+    # TreeFeatures appends isolated regions (never merged, not tree
+    # nodes) AFTER the tree's nodes in node_keys; rows [:n_nodes] of its
+    # stats align 1:1 with tree node ids (features/hierarchical.py:176)
+    n = tree.n_nodes
     np.testing.assert_allclose(np.asarray(out["sum"])[:, 0],
-                               st["sum"], rtol=1e-5)
+                               st["sum"][:n], rtol=5e-4)
     np.testing.assert_allclose(np.asarray(out["cnt"])[:, 0],
-                               st["cnt"], rtol=1e-6)
+                               st["cnt"][:n], rtol=1e-6)
     np.testing.assert_allclose(np.asarray(out["min"])[:, 0],
-                               st["min"], rtol=1e-6)
+                               st["min"][:n], rtol=1e-6)
     np.testing.assert_allclose(np.asarray(out["max"])[:, 0],
-                               st["max"], rtol=1e-6)
+                               st["max"][:n], rtol=1e-6)
 
 
 def test_device_metrics_on_chip():
