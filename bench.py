@@ -97,6 +97,9 @@ def main():
     compile_dt = time.time() - t0
     log(f"first call (compile+run): {compile_dt:.1f}s, {n_m} merges, "
         f"{stats['n_supersteps']} supersteps")
+    if stats.get("fallback"):
+        log("WARNING: fused_ms capacity plan overflowed on this RAG; "
+            "measuring the single-phase fallback engine")
     # stage inputs on device once (production: the RAG edge arrays are
     # already device-resident from the upstream watershed/RAG stages; the
     # remote-tunnel host->device transfer is a one-time cost, logged here)
