@@ -753,7 +753,7 @@ def replay_exact_saliency(u, v, s, c, order, engine="native"):
 
 
 def greedy_merge_device(rag, pb_image, policy="mean", n_bins=32,
-                        mode="fused", dmax=4, stats=None,
+                        mode="fused_ms", dmax=4, stats=None,
                         exact_saliency=True):
     """User-surface device merge: same (order_keys, saliencies) contract as
     ``glia_tpu.native.greedy_merge_native`` but run as one batched XLA
@@ -763,6 +763,10 @@ def greedy_merge_device(rag, pb_image, policy="mean", n_bins=32,
     policy: "mean" (pooled boundary mean, struct_merge.hxx:38-85) or
     "median" (approx-median over an additive n_bins histogram sketch,
     struct_merge.hxx:90-136 semantics to bin resolution).
+
+    mode: "fused_ms" (default; multi-phase fused engine -- the bench
+    configuration; falls back to single-phase automatically if the RAG
+    overflows the capacity plan), "fused", or "chunked".
 
     exact_saliency (default True, policy "mean"): replace the engine's
     start-of-superstep saliencies with the exact merge-time pooled means
