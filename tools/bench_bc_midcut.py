@@ -100,7 +100,8 @@ def bc_midcut_compare(side=512, n_cells=None, n_trees=60, seed=9,
     cache = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))),
         f".cache_midcut_{side}_{n_cells}_{n_trees}_{seed}.npz")
-    if os.path.exists(cache):
+    use_cache = rag.n_edges > 30000  # suite-scale runs stay uncached
+    if use_cache and os.path.exists(cache):
         d = np.load(cache)
         order_h, probs_h = d["order"], d["probs"]
         log(f"host serial BC order: {len(order_h)} merges (cached)")
@@ -111,8 +112,9 @@ def bc_midcut_compare(side=512, n_cells=None, n_trees=60, seed=9,
             predict_batch=predict_batch)
         log(f"host serial BC order: {len(order_h)} merges "
             f"({time.time()-t0:.1f}s)")
-        np.savez(cache, order=np.asarray(order_h),
-                 probs=np.asarray(probs_h))
+        if use_cache:
+            np.savez(cache, order=np.asarray(order_h),
+                     probs=np.asarray(probs_h))
     if os.environ.get("GLIA_MIDCUT_SERIAL_ONLY"):
         log("serial-only pass done; rerun without the flag for the table")
         return []
