@@ -524,6 +524,110 @@ def cmd_image_compression(a):
     write_image(a.output, im)
 
 
+def cmd_overlay_image(a):
+    from ..io.image import write_image
+    from ..ops.image import overlay_image
+
+    labels = _read_label(a.labelImage)
+    base = _read_real(a.bgImage) if a.bgImage else np.zeros(
+        labels.shape, np.float64)
+    out = overlay_image(base, labels, alpha=a.opacity)
+    if a.drawBoundary:
+        # boundary pixels: any 4-neighbor with a different label
+        b = np.zeros(labels.shape, bool)
+        b[:-1, :] |= labels[:-1, :] != labels[1:, :]
+        b[1:, :] |= labels[1:, :] != labels[:-1, :]
+        b[:, :-1] |= labels[:, :-1] != labels[:, 1:]
+        b[:, 1:] |= labels[:, 1:] != labels[:, :-1]
+        out[b] = np.asarray(a.boundaryRGB, np.float64)[:3] / 255.0
+    write_image(a.output, (np.clip(out, 0, 1) * 255).astype(np.uint8))
+
+
+def cmd_gen_image_patches(a):
+    from ..io.text import write_matrix
+    from ..ops.image import image_patches
+
+    im = _read_real(a.valImage)
+    r = a.radius if len(a.radius) == im.ndim else a.radius * im.ndim
+    size = tuple(2 * x + 1 for x in r)
+    stride = tuple(a.stride if len(a.stride) == im.ndim
+                   else a.stride * im.ndim) if a.stride else (1,) * im.ndim
+    patches = image_patches(im, size, stride)
+    write_matrix(a.patch, patches.reshape(len(patches), -1))
+
+
+def cmd_unique_sample(a):
+    from ..io.text import read_matrix, read_vector, write_matrix, \
+        write_vector
+    from ..tools import unique_samples
+
+    feats = np.concatenate([read_matrix(f) for f in a.feat])
+    labels = np.concatenate([read_vector(f) for f in a.label])
+    uf, ul = unique_samples(feats, labels)
+    write_matrix(a.ufeat, uf)
+    write_vector(a.ulabel, ul, fmt="%d")
+
+
+def cmd_distribute_samples(a):
+    from ..io.text import read_matrix, read_vector, write_matrix, \
+        write_vector
+    from ..tools import distribute_samples
+
+    feats = np.concatenate([read_matrix(f) for f in a.feat])
+    labels = np.concatenate([read_vector(f) for f in a.label])
+    groups = distribute_samples(feats, labels, a.i0, a.i1, a.threshold)
+    if len(a.outFeat) != len(groups) or len(a.outLabel) != len(groups):
+        raise SystemExit(f"need {len(groups)} output feature and label "
+                         f"files (small/medium/large groups)")
+    for (gf, gl), ff, lf in zip(groups, a.outFeat, a.outLabel):
+        write_matrix(ff, gf)
+        write_vector(lf, gl, fmt="%d")
+
+
+def cmd_select_hard_samples(a):
+    from ..io.text import read_matrix, read_vector, write_matrix, \
+        write_vector
+    from ..tools import select_hard_samples
+
+    feats = np.concatenate([read_matrix(f) for f in a.feat])
+    labels = np.concatenate([read_vector(f) for f in a.label])
+    preds = np.concatenate([read_vector(f) for f in a.pred])
+    hf, hl = select_hard_samples(feats, labels, preds, label0=a.l0,
+                                 label1=a.l1, threshold0=a.t0,
+                                 threshold1=a.t1)
+    write_matrix(a.outFeat, hf)
+    write_vector(a.outLabel, hl, fmt="%d")
+
+
+def cmd_match_truth_to_seg(a):
+    from ..tools import match_truth_to_seg, seg_stats
+
+    seg = _read_label(a.segImage)
+    truth = _read_label(a.truthImage)
+    mask = _read_label(a.mask) if a.mask else None
+    m = match_truth_to_seg(seg, truth, mask)
+    if a.minSegSize > 0:
+        sizes = seg_stats(seg, mask=mask, include_bg=True)
+        m = {s: tl for s, tl in m.items() if sizes.get(s, 0) >= a.minSegSize}
+    for s, (t, ji) in sorted(m.items()):
+        print(f"{s}: {t} [{ji:.6g}]")
+
+
+def cmd_labelscc(a):
+    from ..ops.image import scalar_connected_components
+
+    _write_label(a.output,
+                 scalar_connected_components(_read_label(a.input), a.diff))
+
+
+def cmd_labelicc(a):
+    from ..ops.image import identity_connected_components
+
+    mask = _read_label(a.mask) if a.mask else None
+    _write_label(a.output,
+                 identity_connected_components(_read_label(a.input), mask))
+
+
 def build_parser():
     p = argparse.ArgumentParser(prog="glia_tpu",
                                 description=__doc__,
@@ -860,6 +964,78 @@ def build_parser():
     q.add_argument("--write16", action="store_true")
     q.add_argument("-o", "--output", required=True)
     q.set_defaults(fn=cmd_image_compression)
+
+    q = sub.add_parser("overlay_image",
+                       help="colorized label overlay for inspection")
+    q.add_argument("-l", "--labelImage", required=True)
+    q.add_argument("-i", "--bgImage")
+    q.add_argument("-p", "--opacity", type=float, default=0.6)
+    q.add_argument("-b", "--drawBoundary", type=lambda s: s != "0",
+                   default=True)
+    q.add_argument("--boundaryRGB", type=int, nargs=3, default=[0, 0, 0])
+    q.add_argument("-o", "--output", required=True)
+    q.set_defaults(fn=cmd_overlay_image)
+
+    q = sub.add_parser("gen_image_patches",
+                       help="sliding-window patches -> text matrix")
+    q.add_argument("-i", "--valImage", required=True)
+    q.add_argument("-r", "--radius", type=int, nargs="+", required=True)
+    q.add_argument("--stride", type=int, nargs="+", default=None)
+    q.add_argument("-o", "--patch", required=True)
+    q.set_defaults(fn=cmd_gen_image_patches)
+
+    q = sub.add_parser("unique_sample", help="drop duplicate sample rows")
+    q.add_argument("-f", "--feat", nargs="+", required=True)
+    q.add_argument("-l", "--label", nargs="+", required=True)
+    q.add_argument("-u", "--ufeat", required=True)
+    q.add_argument("-o", "--ulabel", required=True)
+    q.set_defaults(fn=cmd_unique_sample)
+
+    q = sub.add_parser("distribute_samples",
+                       help="3-way split by area-feature threshold")
+    q.add_argument("-f", "--feat", nargs="+", required=True)
+    q.add_argument("-l", "--label", nargs="+", required=True)
+    q.add_argument("--i0", type=int, required=True)
+    q.add_argument("--i1", type=int, required=True)
+    q.add_argument("-t", "--threshold", type=float, required=True)
+    q.add_argument("--outFeat", nargs="+", required=True)
+    q.add_argument("--outLabel", nargs="+", required=True)
+    q.set_defaults(fn=cmd_distribute_samples)
+
+    q = sub.add_parser("select_hard_samples",
+                       help="keep misclassified samples")
+    q.add_argument("-f", "--feat", nargs="+", required=True)
+    q.add_argument("-l", "--label", nargs="+", required=True)
+    q.add_argument("-p", "--pred", nargs="+", required=True)
+    q.add_argument("--l0", type=int, default=1)
+    q.add_argument("--l1", type=int, default=-1)
+    q.add_argument("--t0", type=float, default=0.5)
+    q.add_argument("--t1", type=float, default=0.5)
+    q.add_argument("--outFeat", required=True)
+    q.add_argument("--outLabel", required=True)
+    q.set_defaults(fn=cmd_select_hard_samples)
+
+    q = sub.add_parser("match_truth_to_seg",
+                       help="best-Jaccard truth label per seg region")
+    q.add_argument("-s", "--segImage", required=True)
+    q.add_argument("-t", "--truthImage", required=True)
+    q.add_argument("-m", "--mask")
+    q.add_argument("--mins", dest="minSegSize", type=int, default=0)
+    q.set_defaults(fn=cmd_match_truth_to_seg)
+
+    q = sub.add_parser("labelscc_image",
+                       help="scalar CC (neighbors within diff join)")
+    q.add_argument("-i", "--input", required=True)
+    q.add_argument("-d", "--diff", type=float, default=0)
+    q.add_argument("-o", "--output", required=True)
+    q.set_defaults(fn=cmd_labelscc)
+
+    q = sub.add_parser("labelicc_image",
+                       help="relabel equal-label connected components")
+    q.add_argument("-i", "--input", required=True)
+    q.add_argument("-m", "--mask")
+    q.add_argument("-o", "--output", required=True)
+    q.set_defaults(fn=cmd_labelicc)
 
     return p
 

@@ -32,6 +32,12 @@ from functools import partial
 import numpy as np
 
 
+def _env_flag(name):
+    """Parse an env toggle as a boolean ('', '0', 'false', 'no' = off)."""
+    return os.environ.get(name, "").strip().lower() not in (
+        "", "0", "false", "no", "off")
+
+
 def edge_mean_arrays(rag, pb_image):
     """Per-edge (sum, count) of boundary pb + dense endpoint indices."""
     pb = np.asarray(pb_image, dtype=np.float64).ravel()
@@ -591,10 +597,14 @@ def merge_batched_device(u, v, s, c, n_regions, max_supersteps=256,
 
     Per-edge data (s, c) = (sum, count) of boundary pb; statistic = s/c
     (util/struct_merge.hxx:38-85 semantics under splice-as-sum).
-    ``mode="fused"`` (default) runs the whole merge as one device program
-    with depth-``dmax`` chain contraction per superstep (O(log R)
-    supersteps); ``mode="chunked"`` is the older host-compacted
-    mutual-matching engine.  Returns (order, saliencies, n_merges)."""
+    ``mode="fused_ms"`` (the user-surface and bench configuration) adds
+    device-side capacity-shrinking tail phases to ``mode="fused"``, which
+    runs the whole merge as one device program with depth-``dmax`` chain
+    contraction per superstep (O(log R) supersteps); ``mode="chunked"``
+    is the older host-compacted mutual-matching engine.  This function's
+    own default stays "fused" (the single-phase program some callers pin
+    for its one-program compile); greedy_merge_device passes "fused_ms".
+    Returns (order, saliencies, n_merges)."""
     import jax
     import jax.numpy as jnp
 
@@ -641,6 +651,10 @@ def merge_batched_device_hist(u, v, h, n_regions, max_supersteps=256,
             return hist_median_stat(h, _lo, _hi)
         _HIST_STATS[(lo, hi)] = stat_fn
 
+    if mode == "fused_ms":
+        return _fused_multiphase_core(u, v, (h,), stat_fn, n_regions,
+                                      max_supersteps, dtype, dmax=dmax,
+                                      stats=stats)
     if mode == "fused":
         return _fused_merge_core(u, v, (h,), stat_fn, n_regions,
                                  max_supersteps, dtype, dmax=dmax,
@@ -836,18 +850,20 @@ def _build_phase_fn(stat_fn, E, R_loc, R_glob, max_m_glob, dmax,
     fresh ids contiguously in merge order).
 
     Tail supersteps of the merge run on arrays ~alive-sized instead of
-    full-E/full-R (alive counts roughly halve per superstep, measured
-    2048^2: 149k -> 131k -> 65k -> 33k ..., docs/RESULTS.md), buying
-    back the sort/scatter cost that dominated the roofline gap -- with
-    NO host round-trips: phases hand device-resident state to a jitted
-    transition program (_build_trans_fn).
+    full-E/full-R (alive counts collapse fast, measured 2048^2: 149,084
+    alive edges -> 13,889 after 2 supersteps -> 882 after 4; the default
+    plan's lane-tile-rounded capacities are 149,084 -> 29,952 -> 3,072
+    edge rows, docs/RESULTS.md), buying back the sort/scatter cost that
+    dominated the roofline gap -- with NO host round-trips: phases hand
+    device-resident state to a jitted transition program
+    (_build_trans_fn).
     """
     import jax
     import jax.numpy as jnp
 
     key = ("phase", stat_fn, E, R_loc, R_glob, max_m_glob, dmax,
            max_steps, str(dtype), payload_struct, identity_g,
-           bool(os.environ.get("GLIA_MERGE_UNROLL")))
+           _env_flag("GLIA_MERGE_UNROLL"))
     fn = _JIT_CACHE.get(key)
     if fn is not None:
         return fn
@@ -1009,14 +1025,22 @@ def _build_phase_fn(stat_fn, E, R_loc, R_glob, max_m_glob, dmax,
 
         st = (jnp.int32(0), jnp.int32(0), u0, v0, payload0, alive0,
               order0, sal0)
-        if max_steps <= 2 and os.environ.get("GLIA_MERGE_UNROLL"):
+        if max_steps <= 2 and _env_flag("GLIA_MERGE_UNROLL"):
             # experimental: straight-line the fixed-count phases --
             # while_loop pays per-iteration carry layout copies; the
             # body is a no-op on an empty frontier, so unconditional
             # unrolling is safe.  Off by default so the shipped primed
-            # compile-cache entries stay valid.
+            # compile-cache entries stay valid (measured slower anyway:
+            # 0.189s vs 0.160s, docs/RESULTS.md).  The step counter only
+            # advances while the frontier is non-empty so superstep
+            # stats match the while_loop engine.
+            def body_counted(st):
+                alive_now = st[5].any()
+                st2 = body(st)
+                return (jnp.where(alive_now, st2[0], st[0]),) + st2[1:]
+
             for _ in range(max_steps):
-                st = body(st)
+                st = body_counted(st)
         else:
             st = jax.lax.while_loop(cond, body, st)
         step, n_loc, u, v, payload, alive, order, sal = st
@@ -1113,6 +1137,13 @@ def _fused_multiphase_core(u, v, payload, stat_fn, n_regions,
     E = len(u)
     R = int(n_regions)
     max_m = max(R - 1, 1)
+    if stats is not None and os.environ.get("GLIA_MERGE_DEBUG"):
+        # debug lists accumulate via setdefault into a caller-owned dict
+        # that benches reuse across calls; reset so each call's printout
+        # reflects only itself
+        for k in ("phase_s", "phase_steps", "trans_s",
+                  "alive_at_transition"):
+            stats.pop(k, None)
     if plan is None:
         # measured on 2048^2 (61k regions) watershed RAGs: alive edges
         # collapse 149,084 -> 13,889 after 2 supersteps -> 882 after 4

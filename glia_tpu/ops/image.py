@@ -167,7 +167,7 @@ def image_patches(image, patch_size, stride):
 
 
 def slicewise_connected_components(volume):
-    """Per-slice CC with globally unique labels (labelscc_image)."""
+    """Per-slice CC with globally unique labels (3D linking utility)."""
     from ..native import connected_components_native
 
     out = np.zeros_like(np.asarray(volume), dtype=np.int32)
@@ -178,6 +178,52 @@ def slicewise_connected_components(volume):
         out[z] = np.where(cc > 0, cc + offset, 0)
         offset += n
     return out
+
+
+def scalar_connected_components(image, diff_threshold=0):
+    """Connected components where ADJACENT pixels within ``diff_threshold``
+    of each other join (gadget/main_labelscc_image.cxx via ITK's
+    ScalarConnectedComponentImageFilter; util/image.hxx:315-326).  Every
+    pixel is labeled (no background), labels from 1; 2*D connectivity.
+    """
+    import scipy.sparse as sp
+    import scipy.sparse.csgraph as csg
+
+    img = np.asarray(image)
+    n = img.size
+    idx = np.arange(n).reshape(img.shape)
+    rows, cols = [], []
+    for d in range(img.ndim):
+        sl_a = [slice(None)] * img.ndim
+        sl_b = [slice(None)] * img.ndim
+        sl_a[d] = slice(None, -1)
+        sl_b[d] = slice(1, None)
+        a = idx[tuple(sl_a)].ravel()
+        b = idx[tuple(sl_b)].ravel()
+        flat = img.ravel()
+        ok = np.abs(flat[a].astype(np.float64)
+                    - flat[b].astype(np.float64)) <= diff_threshold
+        rows.append(a[ok])
+        cols.append(b[ok])
+    r = np.concatenate(rows)
+    c = np.concatenate(cols)
+    g = sp.coo_matrix((np.ones(len(r), np.int8), (r, c)), shape=(n, n))
+    _, labels = csg.connected_components(g, directed=False)
+    return (labels + 1).astype(np.int32).reshape(img.shape)
+
+
+def identity_connected_components(labels, mask=None):
+    """Relabel connected components of EQUAL-label pixels; BG_VAL pixels
+    and masked-out pixels stay background (labelIdentityConnectedComponents,
+    util/image.hxx:329-377; gadget/main_labelicc_image.cxx)."""
+    from ..constants import BG_VAL, MASK_OUT_VAL
+    from ..native import connected_components_native
+
+    lab = np.asarray(labels, dtype=np.int32)
+    m = (lab != BG_VAL).astype(np.int32)
+    if mask is not None:
+        m &= (np.asarray(mask) != MASK_OUT_VAL).astype(np.int32)
+    return connected_components_native(lab, mask=m)
 
 
 def sample_image(image, stride):

@@ -97,14 +97,21 @@ def bc_midcut_compare(side=512, n_cells=None, n_trees=60, seed=9,
     def predict_batch(F):
         return predict_label_fraction(model, F, label=-1)
 
+    # v2 version token: bump whenever greedy_merge_bc, the feature
+    # config, or the training recipe above changes -- a stale cached
+    # order would silently skew the serial-vs-device table
+    SERIAL_CACHE_VERSION = "v2"
     cache = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))),
-        f".cache_midcut_{side}_{n_cells}_{n_trees}_{seed}.npz")
+        f".cache_midcut_{SERIAL_CACHE_VERSION}_"
+        f"{side}_{n_cells}_{n_trees}_{seed}.npz")
     use_cache = rag.n_edges > 30000  # suite-scale runs stay uncached
     if use_cache and os.path.exists(cache):
         d = np.load(cache)
         order_h, probs_h = d["order"], d["probs"]
-        log(f"host serial BC order: {len(order_h)} merges (cached)")
+        log(f"host serial BC order: {len(order_h)} merges (cached: "
+            f"{cache}, mtime {time.ctime(os.path.getmtime(cache))}; "
+            f"delete the file to invalidate)")
     else:
         t0 = time.time()
         order_h, probs_h = greedy_merge_bc(
