@@ -82,9 +82,16 @@ def main():
     log(f"host exact serial greedy: {len(order_h)} merges in {host_dt:.3f}s"
         f" -> {host_edges_s:,.0f} edges/s")
 
-    # ---- device: fused batched merge (full order, one XLA program) ----
+    # ---- device: fused batched merge + exact saliency (all-chip) ----
+    # The timed region covers the FULL serial-engine contract
+    # (util/struct_merge.hxx:27-29): the complete merge order AND the
+    # exact merge-time saliencies, both produced on the accelerator --
+    # the merge by the fused superstep engine, the saliencies by the
+    # LCA-keyed segment reduction (merge_device.exact_saliency_device;
+    # round-4's serial host replay is out of the production path).
     import jax
 
+    from glia_tpu.graph.merge_device import exact_saliency_device
     from glia_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
@@ -94,6 +101,8 @@ def main():
     t0 = time.time()
     order_b, sal_b, n_m = merge_batched_device(u, v, s, c, R, stats=stats,
                                                mode=MODE)
+    ex_d = exact_saliency_device(u, v, s, c, order_b, R)
+    jax.block_until_ready(ex_d)
     compile_dt = time.time() - t0
     log(f"first call (compile+run): {compile_dt:.1f}s, {n_m} merges, "
         f"{stats['n_supersteps']} supersteps")
@@ -111,22 +120,30 @@ def main():
     s_d, c_d = jnp.asarray(s, dty), jnp.asarray(c, dty)
     jax.block_until_ready((u_d, v_d, s_d, c_d))
     log(f"one-time input staging (host->device): {time.time()-t0:.3f}s")
-    run_dt = float("inf")
-    for _ in range(3):
+    reps = []
+    for _ in range(int(os.environ.get("GLIA_BENCH_REPS", "5"))):
         t0 = time.time()
         order_b, sal_b, n_m = merge_batched_device(u_d, v_d, s_d, c_d, R,
                                                    stats=stats, mode=MODE)
-        run_dt = min(run_dt, time.time() - t0)
-    dev_edges_s = (E + n_m) / run_dt
-    log(f"device fused merge: {n_m} merges in {run_dt:.3f}s -> "
-        f"{dev_edges_s:,.0f} edges/s/chip "
-        f"({dev_edges_s/host_edges_s:.2f}x host serial)")
+        ex_d = exact_saliency_device(u_d, v_d, s_d, c_d, order_b, R)
+        jax.block_until_ready((order_b, ex_d))
+        reps.append(time.time() - t0)
+    run_med = float(np.median(reps))
+    run_min = float(np.min(reps))
+    dev_edges_s = (E + n_m) / run_med
+    log(f"device merge+saliency reps: "
+        f"{' '.join(f'{r:.3f}' for r in sorted(reps))}s "
+        f"(median {run_med:.3f}, min {run_min:.3f})")
+    log(f"device fused merge + exact saliency: {n_m} merges in "
+        f"{run_med:.3f}s median -> {dev_edges_s:,.0f} edges/s/chip "
+        f"({dev_edges_s/host_edges_s:.2f}x host serial; min-rep "
+        f"{(E + n_m)/run_min:,.0f})")
 
-    # ---- parity replay: threshold cut -> segmentation -> VI ----
-    # cut on EXACT merge-time pooled means (host replay of the device
-    # order, merge_device.replay_exact_saliency): the serial engine's
-    # saliency quantity; the engine's recorded start-of-superstep stats
-    # are also scored to show the stale-saliency drift they would cause
+    # ---- parity: threshold cut on the DEVICE saliencies -> VI ----
+    # the cut uses exactly what the production path emits (the device
+    # LCA saliencies); the engine's stale start-of-superstep stats are
+    # also scored to show the drift they would cause, and the native
+    # host replay cross-checks the device values
     from glia_tpu.graph.merge import apply_merge_order
     from glia_tpu.graph.merge_device import replay_exact_saliency
     from glia_tpu.metrics import eval_vi
@@ -135,9 +152,17 @@ def main():
     tau = -sal_h[k - 1]
     okeys = order_to_keys(order_b, n_m, rag)
     order_d = np.asarray(order_b)[:n_m]
+    ex = np.asarray(ex_d)[:n_m]
+    # NaN = empty popped boundary (never happens for fused-engine rows;
+    # defensively fall back to the engine's recorded stat)
+    ex = np.where(np.isnan(ex), -np.asarray(sal_b)[:n_m], ex)
     t0 = time.time()
-    ex = replay_exact_saliency(u, v, s, c, order_d)
-    log(f"exact-saliency host replay: {time.time()-t0:.2f}s")
+    ex_host = replay_exact_saliency(u, v, s, c, order_d)
+    okh = np.isfinite(ex_host)
+    dmax_sal = float(np.abs(ex[okh] - ex_host[okh]).max()) if okh.any() \
+        else 0.0
+    log(f"host-replay cross-check: {time.time()-t0:.2f}s, max "
+        f"|device - host| = {dmax_sal:.3g} (f32 segment-sum rounding)")
     mask = threshold_cut(okeys, ex, tau)
     seg_b = apply_merge_order(seg, okeys[mask])
     mask_stale = threshold_cut(okeys, -np.asarray(sal_b)[:n_m], tau)
@@ -146,9 +171,9 @@ def main():
     _, _, vi_b = eval_vi(seg_b, data["truth"])
     _, _, vi_s = eval_vi(seg_stale, data["truth"])
     _, _, vi_h = eval_vi(seg_h, data["truth"])
-    log(f"threshold-cut parity: VI serial {vi_h:.4f} vs device "
-        f"{vi_b:.4f} (delta {vi_b-vi_h:+.4f}; stale-saliency cut would "
-        f"be {vi_s:.4f}, {vi_s-vi_h:+.4f})")
+    log(f"threshold-cut parity (device saliencies): VI serial {vi_h:.4f} "
+        f"vs device {vi_b:.4f} (delta {vi_b-vi_h:+.4f}; stale-saliency "
+        f"cut would be {vi_s:.4f}, {vi_s-vi_h:+.4f})")
 
     result = {
         "metric": "rag_merge_edges_per_s_per_chip",

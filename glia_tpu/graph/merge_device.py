@@ -346,10 +346,11 @@ def _superstep_merge_core(u, v, payload, stat_fn, n_regions,
 
 
 _JIT_CACHE = {}
+_EXACT_SAL_L = {}
 
 
 def _build_fused_fn(stat_fn, E, R, dmax, max_supersteps, dtype,
-                    payload_struct):
+                    payload_struct, with_vsz=False):
     """ONE jitted device program for the whole batched merge: a
     ``lax.while_loop`` over supersteps at full edge capacity.  No host
     round-trips between supersteps (each costs ~0.8s through the remote
@@ -378,7 +379,7 @@ def _build_fused_fn(stat_fn, E, R, dmax, max_supersteps, dtype,
     import jax.numpy as jnp
 
     key = ("fused", stat_fn, E, R, dmax, max_supersteps, str(dtype),
-           payload_struct)
+           payload_struct, with_vsz)
     fn = _JIT_CACHE.get(key)
     if fn is not None:
         return fn
@@ -397,12 +398,16 @@ def _build_fused_fn(stat_fn, E, R, dmax, max_supersteps, dtype,
     INF_H = jnp.int32(dmax + 1) if pack_hr else jnp.int32(n_ids + 7)
 
     def cond(state):
-        step, n_m, u, v, payload, alive, order, sal = state
+        step, n_m, u, v, payload, vstate, alive, order, sal = state
         return (step < max_supersteps) & alive.any() & (n_m < max_m)
 
     def body(state):
-        step, n_m, u, v, payload, alive, order, sal = state
-        stat = jnp.where(alive, stat_fn(payload), BIG)
+        step, n_m, u, v, payload, vstate, alive, order, sal = state
+        if with_vsz:
+            stat = jnp.where(alive, stat_fn(payload, u, v, vstate[0]),
+                             BIG)
+        else:
+            stat = jnp.where(alive, stat_fn(payload), BIG)
         bits = jax.lax.bitcast_convert_type(
             stat.astype(jnp.float32), jnp.int32)
         bits = jnp.where(alive, bits, big32)
@@ -536,18 +541,23 @@ def _build_fused_fn(stat_fn, E, R, dmax, max_supersteps, dtype,
             combined.append(jnp.where(
                 keep[:, None] if ps.ndim == 2 else keep, pseg[seg_id], ps))
         payload = tuple(combined)
-        return (step + 1, n_m + n_new, u3, v3, payload, alive_s & keep,
-                order, sal)
+        if with_vsz:
+            # vertex payload (region sizes) pools additively through the
+            # component lut: one scatter-add per superstep
+            vstate = tuple(
+                jnp.zeros(n_ids, z.dtype).at[lut].add(z) for z in vstate)
+        return (step + 1, n_m + n_new, u3, v3, payload, vstate,
+                alive_s & keep, order, sal)
 
-    def run(u0, v0, payload0):
+    def run(u0, v0, payload0, vstate0):
         alive0 = jnp.ones(E, bool)
         order0 = jnp.full((max_m, 3), -1, jnp.int32)
         sal0 = jnp.zeros(max_m, dtype)
         st = jax.lax.while_loop(
             cond, body,
-            (jnp.int32(0), jnp.int32(0), u0, v0, payload0, alive0,
-             order0, sal0))
-        step, n_m, _, _, _, _, order, sal = st
+            (jnp.int32(0), jnp.int32(0), u0, v0, payload0, vstate0,
+             alive0, order0, sal0))
+        step, n_m, _, _, _, _, _, order, sal = st
         return order, sal, n_m, step
 
     fn = jax.jit(run)
@@ -556,18 +566,28 @@ def _build_fused_fn(stat_fn, E, R, dmax, max_supersteps, dtype,
 
 
 def _fused_merge_core(u, v, payload, stat_fn, n_regions, max_supersteps,
-                      dtype, dmax=4, stats=None):
-    """Single-program batched merge (see _build_fused_fn)."""
+                      dtype, dmax=4, stats=None, vsizes=None):
+    """Single-program batched merge (see _build_fused_fn).  vsizes
+    (optional [R]): additive per-vertex payload (region sizes) made
+    available to ``stat_fn(payload, u, v, vsz)`` -- the median*minsize
+    policy's carrier."""
     import jax.numpy as jnp
 
     E = len(u)
     R = int(n_regions)
+    max_m = max(R - 1, 1)
     payload0 = tuple(jnp.asarray(p, dtype) for p in payload)
     struct = tuple((len(p.shape), str(p.dtype)) for p in payload0)
+    with_vsz = vsizes is not None
+    vstate0 = ()
+    if with_vsz:
+        vsz = jnp.zeros(R + max_m, dtype)
+        vstate0 = (vsz.at[:R].set(jnp.asarray(vsizes, dtype)),)
     fn = _build_fused_fn(stat_fn, E, R, dmax, max_supersteps, dtype,
-                         struct)
+                         struct, with_vsz=with_vsz)
     order, sal, n_m, steps = fn(jnp.asarray(u, jnp.int32),
-                                jnp.asarray(v, jnp.int32), payload0)
+                                jnp.asarray(v, jnp.int32), payload0,
+                                vstate0)
     if stats is not None:
         stats["n_supersteps"] = int(steps)
         stats["buckets"] = [E]
@@ -629,6 +649,44 @@ def merge_batched_device(u, v, s, c, n_regions, max_supersteps=256,
 
 
 _HIST_STATS = {}
+_MINSIZE_STATS = {}
+
+
+def merge_batched_device_hist_minsize(u, v, h, sizes, n_regions,
+                                      max_supersteps=256, lo=0.0, hi=1.0,
+                                      dtype=None, stats=None,
+                                      mode="fused_ms", dmax=4):
+    """Batched superstep merge, median*minsize policy
+    (util/struct_merge.hxx:141-185): statistic = (approx) boundary median
+    from the additive histogram sketch TIMES the smaller endpoint
+    region's size -- sizes ride as an additive per-VERTEX payload pooled
+    through the component lut each superstep (start-of-superstep values,
+    like every other statistic input in the batched engine).  sizes: [R]
+    leaf region sizes.  Returns (order, saliencies=-stat, n_merges)."""
+    import jax
+    import jax.numpy as jnp
+
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+    stat_fn = _MINSIZE_STATS.get((lo, hi))
+    if stat_fn is None:
+        def stat_fn(payload, uu, vv, vsz, _lo=lo, _hi=hi):
+            (hh,) = payload
+            med = hist_median_stat(hh, _lo, _hi)
+            return med * jnp.minimum(vsz[uu], vsz[vv])
+        _MINSIZE_STATS[(lo, hi)] = stat_fn
+
+    if mode == "fused_ms":
+        return _fused_multiphase_core(u, v, (h,), stat_fn, n_regions,
+                                      max_supersteps, dtype, dmax=dmax,
+                                      stats=stats, vsizes=sizes)
+    if mode == "fused":
+        return _fused_merge_core(u, v, (h,), stat_fn, n_regions,
+                                 max_supersteps, dtype, dmax=dmax,
+                                 stats=stats, vsizes=sizes)
+    raise ValueError(f"median_minsize device mode {mode!r} "
+                     "(fused|fused_ms)")
 
 
 def merge_batched_device_hist(u, v, h, n_regions, max_supersteps=256,
@@ -766,17 +824,233 @@ def replay_exact_saliency(u, v, s, c, order, engine="native"):
     return out
 
 
+def replay_exact_saliency_median(u, v, edge_ptr, edge_vals, order,
+                                 engine="native", region_sizes=None):
+    """Serial host replay of a merge order recomputing each merge's EXACT
+    upper-median boundary statistic at merge time (policy-0 counterpart
+    of replay_exact_saliency; util/stats.hxx:83-91 amedian under the
+    boundary_table splice).  Medians are not additive, so the replay
+    carries full per-pair value multisets (small-to-large splicing);
+    engine="native" (default) runs the C++ engine, "py" the dict oracle
+    (tests assert they agree).  Returns stat [n] (saliency = -stat)."""
+    order_a = np.asarray(order, dtype=np.int64).reshape(-1, 3)
+    hi = int(max(order_a.max(initial=0), np.max(u, initial=0),
+                 np.max(v, initial=0))) + 1
+    if engine == "native":
+        from ..native import replay_saliency_median_native
+
+        return replay_saliency_median_native(u, v, edge_ptr, edge_vals,
+                                             order_a, hi,
+                                             region_sizes=region_sizes)
+    sizes = None
+    if region_sizes is not None:
+        sizes = np.zeros(hi, dtype=np.int64)
+        sizes[: len(region_sizes)] = np.asarray(region_sizes,
+                                                dtype=np.int64)
+    edge_ptr = np.asarray(edge_ptr)
+    edge_vals = np.asarray(edge_vals, dtype=np.float64)
+    tbl = {}
+    nbrs = {}
+    for e, (ui, vi) in enumerate(zip(np.asarray(u).tolist(),
+                                     np.asarray(v).tolist())):
+        a, b = (ui, vi) if ui < vi else (vi, ui)
+        vals = edge_vals[int(edge_ptr[e]):int(edge_ptr[e + 1])].tolist()
+        if (a, b) in tbl:
+            tbl[(a, b)].extend(vals)
+        else:
+            tbl[(a, b)] = list(vals)
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+    out = np.full(len(order_a), np.nan)
+    for i, (a, b, r2) in enumerate(order_a):
+        a, b, r2 = int(a), int(b), int(r2)
+        if sizes is not None:
+            sizes[r2] = sizes[a] + sizes[b]
+        k = (a, b) if a < b else (b, a)
+        vals = tbl.pop(k, None)
+        if vals is None:
+            continue
+        arr = np.asarray(vals)
+        out[i] = float(np.partition(arr, len(arr) // 2)[len(arr) // 2])
+        if sizes is not None:
+            out[i] *= float(min(sizes[a], sizes[b]))
+        na = nbrs.pop(a, set())
+        nb = nbrs.pop(b, set())
+        na.discard(b)
+        nb.discard(a)
+        merged = set()
+        for src, rest in ((a, na), (b, nb)):
+            for x in rest:
+                kk = (src, x) if src < x else (x, src)
+                ee = tbl.pop(kk)
+                k2 = (r2, x) if r2 < x else (x, r2)
+                if k2 in tbl:
+                    tbl[k2].extend(ee)
+                else:
+                    tbl[k2] = ee
+                nx = nbrs[x]
+                nx.discard(a)
+                nx.discard(b)
+                nx.add(r2)
+                merged.add(x)
+        nbrs[r2] = merged
+    return out
+
+
+def _build_exact_saliency_fn(E, M, R, L, dtype):
+    """Jitted device program for exact_saliency_device (fixed shapes).
+
+    Binary lifting over the merge forest: ``anc[k][x]`` is x's 2^k-th
+    ancestor (saturating at roots), built by L doubling rounds; depths
+    come from the same doubling.  Each base edge then finds the LCA of
+    its endpoints with the classic lift-to-equal-depth + descend walk --
+    all fixed-shape gathers, no data-dependent control flow -- and the
+    per-merge exact pooled (s, c) is a segment-sum keyed by LCA.
+
+    L is a DEPTH CAPACITY, not derived from n_ids: fused-engine trees
+    are shallow (depth <= dmax * supersteps; measured 51 at 2048^2), so
+    the driver starts at a small L and escalates on the returned
+    ``converged`` flag (False iff some 2^(L-1)-ancestor is not yet a
+    root) -- the superstep passes are dispatch-overhead-bound at RAG
+    sizes, so halving the round count nearly halves the wall.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    key = ("exact_sal", E, M, R, L, str(dtype))
+    fn = _JIT_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    # table slot n_ids is a dummy: padded order rows (r2 < 0, the fused
+    # engine's unfilled buffer tail) scatter there and self-loop
+    n_ids = R + M
+    vid = jnp.arange(n_ids + 1, dtype=jnp.int32)
+
+    def run(u, v, s, c, order):
+        ok_row = order[:, 2] >= 0
+        r0 = jnp.where(ok_row, order[:, 0], n_ids)
+        r1 = jnp.where(ok_row, order[:, 1], n_ids)
+        r2 = jnp.where(ok_row, order[:, 2], n_ids)
+        parent = vid
+        parent = parent.at[r0].set(r2)
+        parent = parent.at[r1].set(r2)
+        # --- doubling: anc[k] = 2^k-th ancestor, depth = steps to root ---
+        anc = [parent]
+        depth = (parent != vid).astype(jnp.int32)
+        p = parent
+        for _ in range(L - 1):
+            depth = depth + depth[p]
+            p = p[p]
+            anc.append(p)
+        root = anc[-1]
+        converged = (parent[root] == root).all()
+
+        # --- per-edge LCA (endpoints stacked [2E]: one gather/round) ---
+        duv = depth[jnp.concatenate([u, v])]
+        da = duv[:E]
+        db = duv[E:]
+        swap = db > da
+        a = jnp.where(swap, v, u)
+        b = jnp.where(swap, u, v)
+        diff = jnp.abs(da - db)
+        for k in range(L - 1, -1, -1):
+            lift = (diff >> k) & 1 > 0
+            a = jnp.where(lift, anc[k][a], a)
+        same = a == b
+        ab = jnp.concatenate([a, b])
+        for k in range(L - 1, -1, -1):
+            kab = anc[k][ab]
+            ka = kab[:E]
+            kb = kab[E:]
+            go = ~same & (ka != kb)
+            ab = jnp.where(jnp.concatenate([go, go]), kab, ab)
+        a = ab[:E]
+        lca = jnp.where(same, a, anc[0][a])
+        valid = root[u] == root[v]
+
+        # --- exact pooled (s, c) per merge node = LCA-keyed segment sum ---
+        seg = jnp.where(valid, lca, n_ids)
+        s_tot = jax.ops.segment_sum(jnp.where(valid, s, 0.0), seg,
+                                    num_segments=n_ids + 1)
+        c_tot = jax.ops.segment_sum(jnp.where(valid, c, 0.0), seg,
+                                    num_segments=n_ids + 1)
+        cm = c_tot[r2]
+        sm = s_tot[r2]
+        return jnp.where(ok_row & (cm > 0), sm / jnp.maximum(cm, 1.0),
+                         jnp.asarray(jnp.nan, dtype)), converged
+
+    fn = jax.jit(run)
+    _JIT_CACHE[key] = fn
+    return fn
+
+
+def exact_saliency_device(u, v, s, c, order, n_regions, dtype=None):
+    """Exact merge-time pooled-mean statistics of a merge order, computed
+    ON DEVICE (the all-chip replacement for the serial host replay,
+    ``replay_exact_saliency``).
+
+    The identity: the boundary the serial engine pops at merge m
+    (boundary_table.hxx:122-167) is exactly the base edges whose
+    endpoints' merge-TREE LowestCommonAncestor is m -- the same
+    dying-pair structure features/hierarchical.py exploits for boundary
+    feature cancellation.  So the exact merge-time pooled (s, c) of every
+    merge is ONE segment-sum of base-edge payloads keyed by tree LCA; the
+    LCA itself comes from binary lifting (O(E log R) fixed-shape gathers,
+    one XLA program, no serial pass).
+
+    order: [M, 3] dense-index triples (r0, r1, r2); rows with r2 < 0
+    (the fused engine's unfilled padded buffer tail) are ignored and
+    return NaN, so the engine's device-resident order buffer can be
+    passed WITHOUT a host round-trip.  A merge whose popped boundary is
+    empty (non-adjacent pair row) also gets NaN, matching the host
+    replay's semantics.  Returns stat [M] (saliency = -stat).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    order = jnp.asarray(order, jnp.int32).reshape(-1, 3)
+    M = int(order.shape[0])
+    R = int(n_regions)
+    if M == 0:
+        return np.zeros(0)
+    n_ids = R + M
+    L_full = max(1, int(np.ceil(np.log2(max(n_ids, 2)))))
+    # depth-capacity escalation: start from the last L that converged for
+    # this shape (fused trees are ~dmax*supersteps deep, L=8 covers depth
+    # 128), retry with doubled rounds on a False converged flag
+    shape_key = (len(u), M, R, str(dtype))
+    L = _EXACT_SAL_L.get(shape_key, min(8, L_full))
+    u_d = jnp.asarray(u, jnp.int32)
+    v_d = jnp.asarray(v, jnp.int32)
+    s_d = jnp.asarray(s, dtype)
+    c_d = jnp.asarray(c, dtype)
+    while True:
+        fn = _build_exact_saliency_fn(len(u), M, R, L, dtype)
+        stat, converged = fn(u_d, v_d, s_d, c_d, order)
+        if bool(converged) or L >= L_full:
+            break
+        L = min(2 * L, L_full)
+    _EXACT_SAL_L[shape_key] = L
+    return stat
+
+
 def greedy_merge_device(rag, pb_image, policy="mean", n_bins=32,
                         mode="fused_ms", dmax=4, stats=None,
-                        exact_saliency=True):
+                        exact_saliency=True, saliency_engine="device"):
     """User-surface device merge: same (order_keys, saliencies) contract as
     ``glia_tpu.native.greedy_merge_native`` but run as one batched XLA
     program on the accelerator (the TPU counterpart of the reference's
     serial ``genMergeOrderGreedy``, util/struct_merge.hxx:13-33).
 
-    policy: "mean" (pooled boundary mean, struct_merge.hxx:38-85) or
+    policy: "mean" (pooled boundary mean, struct_merge.hxx:38-85),
     "median" (approx-median over an additive n_bins histogram sketch,
-    struct_merge.hxx:90-136 semantics to bin resolution).
+    struct_merge.hxx:90-136 semantics to bin resolution), or
+    "median_minsize" (median * smaller endpoint region size,
+    struct_merge.hxx:141-185; sizes pooled as an additive vertex
+    payload) -- all three of the reference's saliency policies.
 
     mode: "fused_ms" (default; multi-phase fused engine -- the bench
     configuration; falls back to single-phase automatically if the RAG
@@ -784,10 +1058,12 @@ def greedy_merge_device(rag, pb_image, policy="mean", n_bins=32,
 
     exact_saliency (default True, policy "mean"): replace the engine's
     start-of-superstep saliencies with the exact merge-time pooled means
-    via a host replay pass (replay_exact_saliency) -- the serial-engine
-    quantity; threshold cuts on these match the serial cut's VI ~25x
-    closer at scale.  The device program is unchanged; the replay is a
-    cheap host post-pass outside the hot loop.
+    -- the serial-engine quantity (threshold cuts on these match the
+    serial cut's VI ~25x closer at scale).  saliency_engine selects how:
+    "device" (default) runs the LCA-keyed segment reduction as a second
+    XLA program on the accelerator (exact_saliency_device) so the
+    matched-VI path is all-chip; "native"/"py" run the serial host
+    replay (replay_exact_saliency).
     Returns (order [n, 3] int64 label keys, saliencies [n]).
     """
     if policy == "mean":
@@ -796,16 +1072,46 @@ def greedy_merge_device(rag, pb_image, policy="mean", n_bins=32,
             u, v, s, c, rag.n_regions, mode=mode, dmax=dmax, stats=stats)
         sal = np.asarray(sal)[:n_m]
         if exact_saliency:
-            ex = replay_exact_saliency(u, v, s, c,
-                                       np.asarray(order)[:n_m])
+            if saliency_engine == "device":
+                ex = np.asarray(exact_saliency_device(
+                    u, v, s, c, np.asarray(order)[:n_m], rag.n_regions))
+            else:
+                ex = replay_exact_saliency(u, v, s, c,
+                                           np.asarray(order)[:n_m],
+                                           engine=saliency_engine)
+            sal = np.where(np.isnan(ex), sal, -ex)
+    elif policy == "median_minsize":
+        if rag.sizes is None:
+            raise ValueError("median_minsize needs region sizes; build "
+                             "the RAG with contour_only=False")
+        u, v, h = edge_hist_arrays(rag, pb_image, n_bins=n_bins)
+        order, sal, n_m = merge_batched_device_hist_minsize(
+            u, v, h, rag.sizes, rag.n_regions, mode=mode, dmax=dmax,
+            stats=stats)
+        sal = np.asarray(sal)[:n_m]
+        if exact_saliency:
+            pb = np.asarray(pb_image, dtype=np.float64).ravel()
+            ex = replay_exact_saliency_median(
+                u, v, rag.edge_ptr, pb[rag.edge_pixels],
+                np.asarray(order)[:n_m], region_sizes=rag.sizes)
             sal = np.where(np.isnan(ex), sal, -ex)
     elif policy == "median":
         u, v, h = edge_hist_arrays(rag, pb_image, n_bins=n_bins)
         order, sal, n_m = merge_batched_device_hist(
             u, v, h, rag.n_regions, mode=mode, dmax=dmax, stats=stats)
         sal = np.asarray(sal)[:n_m]
+        if exact_saliency:
+            # exact upper medians at merge time (host replay: medians
+            # are not additive, so there is no device segment-reduction
+            # form; the C++ multiset replay is the exact oracle)
+            pb = np.asarray(pb_image, dtype=np.float64).ravel()
+            ex = replay_exact_saliency_median(
+                u, v, rag.edge_ptr, pb[rag.edge_pixels],
+                np.asarray(order)[:n_m])
+            sal = np.where(np.isnan(ex), sal, -ex)
     else:
-        raise ValueError(f"device policy {policy!r} (mean|median)")
+        raise ValueError(
+            f"device policy {policy!r} (mean|median|median_minsize)")
     return order_to_keys(order, n_m, rag), sal
 
 
@@ -840,7 +1146,8 @@ def _tile_ceil(x, lo=256, tile=256):
 
 
 def _build_phase_fn(stat_fn, E, R_loc, R_glob, max_m_glob, dmax,
-                    max_steps, dtype, payload_struct, identity_g):
+                    max_steps, dtype, payload_struct, identity_g,
+                    with_vsz=False):
     """One PHASE of the multi-phase fused merge: the chain-contraction
     superstep loop of _build_fused_fn, generalized to run in a COMPACT
     local id space (edge capacity E, local vertex space R_loc +
@@ -862,7 +1169,7 @@ def _build_phase_fn(stat_fn, E, R_loc, R_glob, max_m_glob, dmax,
     import jax.numpy as jnp
 
     key = ("phase", stat_fn, E, R_loc, R_glob, max_m_glob, dmax,
-           max_steps, str(dtype), payload_struct, identity_g,
+           max_steps, str(dtype), payload_struct, identity_g, with_vsz,
            _env_flag("GLIA_MERGE_UNROLL"))
     fn = _JIT_CACHE.get(key)
     if fn is not None:
@@ -877,7 +1184,8 @@ def _build_phase_fn(stat_fn, E, R_loc, R_glob, max_m_glob, dmax,
     pack_hr = (dmax + 2) * (n_ids + 1) < 2 ** 31
     INF_H = jnp.int32(dmax + 1) if pack_hr else jnp.int32(n_ids + 7)
 
-    def run(u0, v0, payload0, alive0, g_of, n_m_base, order0, sal0):
+    def run(u0, v0, payload0, vstate0, alive0, g_of, n_m_base, order0,
+            sal0):
         Rb = (jnp.int32(R_glob) + n_m_base).astype(jnp.int32)
 
         def gfun(x):
@@ -887,14 +1195,20 @@ def _build_phase_fn(stat_fn, E, R_loc, R_glob, max_m_glob, dmax,
             return jnp.where(x < R_loc, base, Rb + (x - R_loc))
 
         def cond(state):
-            step, n_loc, u, v, payload, alive, order, sal = state
+            (step, n_loc, u, v, payload, vstate, alive, order,
+             sal) = state
             return ((step < max_steps) & alive.any()
                     & (n_loc < max_m_loc)
                     & (n_m_base + n_loc < max_m_glob))
 
         def body(state):
-            step, n_loc, u, v, payload, alive, order, sal = state
-            stat = jnp.where(alive, stat_fn(payload), BIG)
+            (step, n_loc, u, v, payload, vstate, alive, order,
+             sal) = state
+            if with_vsz:
+                stat = jnp.where(alive,
+                                 stat_fn(payload, u, v, vstate[0]), BIG)
+            else:
+                stat = jnp.where(alive, stat_fn(payload), BIG)
             bits = jax.lax.bitcast_convert_type(
                 stat.astype(jnp.float32), jnp.int32)
             bits = jnp.where(alive, bits, big32)
@@ -1020,11 +1334,15 @@ def _build_phase_fn(stat_fn, E, R_loc, R_glob, max_m_glob, dmax,
                     keep[:, None] if ps.ndim == 2 else keep,
                     pseg[seg_id], ps))
             payload = tuple(combined)
-            return (step + 1, n_loc + n_new, u3, v3, payload,
+            if with_vsz:
+                vstate = tuple(
+                    jnp.zeros(n_ids, z.dtype).at[lut].add(z)
+                    for z in vstate)
+            return (step + 1, n_loc + n_new, u3, v3, payload, vstate,
                     alive_s & keep, order, sal)
 
-        st = (jnp.int32(0), jnp.int32(0), u0, v0, payload0, alive0,
-              order0, sal0)
+        st = (jnp.int32(0), jnp.int32(0), u0, v0, payload0, vstate0,
+              alive0, order0, sal0)
         if max_steps <= 2 and _env_flag("GLIA_MERGE_UNROLL"):
             # experimental: straight-line the fixed-count phases --
             # while_loop pays per-iteration carry layout copies; the
@@ -1035,7 +1353,7 @@ def _build_phase_fn(stat_fn, E, R_loc, R_glob, max_m_glob, dmax,
             # advances while the frontier is non-empty so superstep
             # stats match the while_loop engine.
             def body_counted(st):
-                alive_now = st[5].any()
+                alive_now = st[6].any()
                 st2 = body(st)
                 return (jnp.where(alive_now, st2[0], st[0]),) + st2[1:]
 
@@ -1043,8 +1361,8 @@ def _build_phase_fn(stat_fn, E, R_loc, R_glob, max_m_glob, dmax,
                 st = body_counted(st)
         else:
             st = jax.lax.while_loop(cond, body, st)
-        step, n_loc, u, v, payload, alive, order, sal = st
-        return u, v, payload, alive, order, sal, n_loc, step
+        step, n_loc, u, v, payload, vstate, alive, order, sal = st
+        return u, v, payload, vstate, alive, order, sal, n_loc, step
 
     fn = jax.jit(run)
     _JIT_CACHE[key] = fn
@@ -1052,7 +1370,7 @@ def _build_phase_fn(stat_fn, E, R_loc, R_glob, max_m_glob, dmax,
 
 
 def _build_trans_fn(E_prev, R_loc_prev, R_glob, E2, R2_cap, dtype,
-                    payload_struct):
+                    payload_struct, with_vsz=False):
     """Phase transition: compact alive edges to capacity E2 and remap the
     active vertex set into [0, R2_cap), composing the local->global id
     table.  All device-side; returns an overflow flag instead of ever
@@ -1061,7 +1379,7 @@ def _build_trans_fn(E_prev, R_loc_prev, R_glob, E2, R2_cap, dtype,
     import jax.numpy as jnp
 
     key = ("trans", E_prev, R_loc_prev, R_glob, E2, R2_cap, str(dtype),
-           payload_struct)
+           payload_struct, with_vsz)
     fn = _JIT_CACHE.get(key)
     if fn is not None:
         return fn
@@ -1069,7 +1387,7 @@ def _build_trans_fn(E_prev, R_loc_prev, R_glob, E2, R2_cap, dtype,
     max_m_prev = max(R_loc_prev - 1, 1)
     n_vert_prev = R_loc_prev + max_m_prev
 
-    def run(u, v, payload, alive, g_of_prev, n_m_base_prev):
+    def run(u, v, payload, vstate, alive, g_of_prev, n_m_base_prev):
         lid = jnp.arange(n_vert_prev, dtype=jnp.int32)
         Rb = (jnp.int32(R_glob) + n_m_base_prev).astype(jnp.int32)
         gl = jnp.where(
@@ -1109,7 +1427,18 @@ def _build_trans_fn(E_prev, R_loc_prev, R_glob, E2, R2_cap, dtype,
                 buf = jnp.zeros(E2 + 1, p.dtype)
                 p2.append(buf.at[sl].set(
                     jnp.where(alive, p, 0.0))[:E2])
-        return u2, v2, tuple(p2), a2, g2, ovf_v | ovf_e
+        vstate2 = vstate
+        if with_vsz:
+            # vertex payload follows the present-vertex remap into the
+            # next phase's compact vertex space
+            n_vert2 = R2_cap + max(R2_cap - 1, 1)
+            vsl = jnp.where(pres, jnp.clip(new_id, 0, n_vert2 - 1),
+                            n_vert2)
+            vstate2 = tuple(
+                jnp.zeros(n_vert2 + 1, z.dtype).at[vsl].set(
+                    jnp.where(pres, z[:n_vert_prev], 0.0))[:n_vert2]
+                for z in vstate)
+        return u2, v2, tuple(p2), vstate2, a2, g2, ovf_v | ovf_e
 
     fn = jax.jit(run)
     _JIT_CACHE[key] = fn
@@ -1118,7 +1447,7 @@ def _build_trans_fn(E_prev, R_loc_prev, R_glob, E2, R2_cap, dtype,
 
 def _fused_multiphase_core(u, v, payload, stat_fn, n_regions,
                            max_supersteps, dtype, dmax=4, plan=None,
-                           stats=None):
+                           stats=None, vsizes=None):
     """Multi-phase fused merge: full-capacity supersteps first, then
     device-side transitions into geometrically smaller edge/vertex
     capacities for the tail (alive counts roughly halve per superstep).
@@ -1154,6 +1483,11 @@ def _fused_multiphase_core(u, v, payload, stat_fn, n_regions,
 
     payload0 = tuple(jnp.asarray(p, dtype) for p in payload)
     struct = tuple((len(p.shape), str(p.dtype)) for p in payload0)
+    with_vsz = vsizes is not None
+    vstate_d = ()
+    if with_vsz:
+        vsz0 = jnp.zeros(R + max_m, dtype)
+        vstate_d = (vsz0.at[:R].set(jnp.asarray(vsizes, dtype)),)
     u_d = jnp.asarray(u, jnp.int32)
     v_d = jnp.asarray(v, jnp.int32)
     alive_d = jnp.ones(E, bool)
@@ -1169,7 +1503,8 @@ def _fused_multiphase_core(u, v, payload, stat_fn, n_regions,
         last = pi == len(plan) - 1
         steps_k = max_supersteps if steps is None or last else steps
         fn = _build_phase_fn(stat_fn, E_cur, R_cur, R, max_m, dmax,
-                             steps_k, dtype, struct, identity_g=(pi == 0))
+                             steps_k, dtype, struct,
+                             identity_g=(pi == 0), with_vsz=with_vsz)
         base_start = n_base  # fresh locals of THIS phase map with the
         # base at phase START (affine rule); pass the same value to the
         # following transition when it composes the id table
@@ -1181,9 +1516,9 @@ def _fused_multiphase_core(u, v, payload, stat_fn, n_regions,
 
             _jax.block_until_ready((u_d, v_d, payload_d, alive_d))
             _t0 = _time.time()
-        (u_d, v_d, payload_d, alive_d, order_d, sal_d, n_loc,
-         step_done) = fn(u_d, v_d, payload_d, alive_d, g_of, base_start,
-                         order_d, sal_d)
+        (u_d, v_d, payload_d, vstate_d, alive_d, order_d, sal_d, n_loc,
+         step_done) = fn(u_d, v_d, payload_d, vstate_d, alive_d, g_of,
+                         base_start, order_d, sal_d)
         if debug:
             _jax.block_until_ready((u_d, alive_d, order_d))
             stats.setdefault("phase_s", []).append(
@@ -1197,11 +1532,12 @@ def _fused_multiphase_core(u, v, payload, stat_fn, n_regions,
             break
         E2 = _tile_ceil(E * plan[pi + 1][1])
         R2_cap = _tile_ceil(R * plan[pi + 1][2], lo=128, tile=128)
-        tf = _build_trans_fn(E_cur, R_cur, R, E2, R2_cap, dtype, struct)
+        tf = _build_trans_fn(E_cur, R_cur, R, E2, R2_cap, dtype, struct,
+                             with_vsz=with_vsz)
         if debug:
             _t0 = _time.time()
-        u_d, v_d, payload_d, alive_d, g_of, ovf = tf(
-            u_d, v_d, payload_d, alive_d, g_of, base_start)
+        u_d, v_d, payload_d, vstate_d, alive_d, g_of, ovf = tf(
+            u_d, v_d, payload_d, vstate_d, alive_d, g_of, base_start)
         ovf_any = ovf_any | ovf
         if debug:
             _jax.block_until_ready(alive_d)
@@ -1220,7 +1556,7 @@ def _fused_multiphase_core(u, v, payload, stat_fn, n_regions,
             stats["fallback"] = True
         return _fused_merge_core(u, v, payload, stat_fn, n_regions,
                                  max_supersteps, dtype, dmax=dmax,
-                                 stats=stats)
+                                 stats=stats, vsizes=vsizes)
     if stats is not None:
         stats["n_supersteps"] = int(total_steps)
         stats["buckets"] = [_tile_ceil(E * f[1]) if i else E

@@ -62,6 +62,70 @@ def vi_device(seg_ids, truth_ids, S, T):
     return fs, fm, fs + fm
 
 
+def vi_from_pairs_device(seg_ids, truth_ids, counts, S, T,
+                         itk_quirk=True):
+    """eval_vi printer math from a SPARSE exact contingency table, under
+    jit (segment sums; no dense [S, T] materialization -- usable at
+    SNEMI scale where S is millions).
+
+    (seg_ids, truth_ids, counts): the K non-empty cells (exclusions --
+    truth BG, masks -- applied by the caller, as in metrics.vi.eval_vi).
+    itk_quirk reproduces the reference's unsigned-integer division
+    (image_stats.hxx:152) exactly: counts are integers and f64 holds
+    them exactly to 2^53.  Returns (false_split, false_merge, total).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    c = jnp.asarray(counts, jnp.float64 if jax.config.jax_enable_x64
+                    else jnp.float32)
+    seg_ids = jnp.asarray(seg_ids)
+    truth_ids = jnp.asarray(truth_ids)
+    n = c.sum()
+    row = jax.ops.segment_sum(c, seg_ids, num_segments=S)
+    col = jax.ops.segment_sum(c, truth_ids, num_segments=T)
+
+    def _centropy(c0):
+        # H(image1 | image0) where c0 = per-cell image0-marginal counts
+        if itk_quirk:
+            ratio = jnp.floor(c0 / jnp.maximum(c, 1.0))
+        else:
+            ratio = c0 / jnp.maximum(c, 1.0)
+        return (c * jnp.log2(jnp.maximum(ratio, 1e-300))).sum() \
+            / jnp.maximum(n, 1.0)
+
+    fs = _centropy(col[truth_ids])   # centropy(truth, seg)
+    fm = _centropy(row[seg_ids])     # centropy(seg, truth)
+    return fs, fm, fs + fm
+
+
+def adapted_rand_from_pairs_device(seg_ids, truth_ids, counts, S, T):
+    """(precision, recall, error) from a SPARSE contingency table under
+    jit.  Caveat vs the host big-int path (metrics.rand): pair counts
+    accumulate in f64, exact only below 2^53 pairs (~9e15; a 105M-voxel
+    volume has ~5.5e15 total pairs, inside the bound)."""
+    import jax
+    import jax.numpy as jnp
+
+    c = jnp.asarray(counts, jnp.float64 if jax.config.jax_enable_x64
+                    else jnp.float32)
+    seg_ids = jnp.asarray(seg_ids)
+    truth_ids = jnp.asarray(truth_ids)
+
+    def c2(x):
+        return x * (x - 1.0) / 2.0
+
+    tp = c2(c).sum()
+    row = jax.ops.segment_sum(c, seg_ids, num_segments=S)
+    col = jax.ops.segment_sum(c, truth_ids, num_segments=T)
+    pairs_seg = c2(row).sum()      # tp + fp
+    pairs_truth = c2(col).sum()    # tp + fn
+    prec = tp / jnp.maximum(pairs_seg, 1.0)
+    rec = tp / jnp.maximum(pairs_truth, 1.0)
+    f = 2.0 * prec * rec / jnp.maximum(prec + rec, 1e-30)
+    return prec, rec, 1.0 - f
+
+
 def adapted_rand_device(seg_ids, truth_ids, S, T):
     """(precision, recall, error) from float pair counts."""
     import jax.numpy as jnp

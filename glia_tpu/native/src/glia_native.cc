@@ -313,6 +313,105 @@ void glia_replay_saliency(i64 n_edges, const i32* u, const i32* v,
   }
 }
 
+// Replay a FIXED merge order through a VALUE-MULTISET boundary table,
+// writing each merge's exact upper-median statistic at merge time (the
+// reference's policy-0 quantity, util/stats.hxx:83-91 amedian over the
+// spliced pixel-value lists of boundary_table.hxx:122-167).  Same
+// contract as glia_replay_saliency, but exact medians need the full
+// per-pair multiset: pairs splice by small-to-large vector append, so
+// total work is O(P log P) for P boundary pixels.  edge_ptr/edge_vals:
+// CSR pixel values per base edge.
+// region_sizes (nullable, length n_ids with leaf sizes in [0, n_regions)):
+// when given, the written statistic is median * min(size(r0), size(r1))
+// with sizes pooled additively along the replay -- the reference's
+// median_minsize policy (struct_merge.hxx:141-185) under a fixed order.
+void glia_replay_saliency_median(i64 n_edges, const i32* u, const i32* v,
+                                 const i64* edge_ptr,
+                                 const double* edge_vals, i64 n_ids,
+                                 i64 n_merges, const i32* order,
+                                 const i64* region_sizes, double* out) {
+  std::vector<std::unordered_map<i64, std::vector<double>>> adj(n_ids);
+  for (i64 e = 0; e < n_edges; ++e) {
+    i64 a = u[e], b = v[e];
+    if (a == b || a < 0 || b < 0 || a >= n_ids || b >= n_ids) continue;
+    auto& va = adj[a][b];
+    va.insert(va.end(), edge_vals + edge_ptr[e], edge_vals + edge_ptr[e + 1]);
+  }
+  // mirror map: adj[b][a] shares content lazily -- keep one copy keyed by
+  // the SMALLER endpoint and a neighbor set for rewiring
+  // (simpler: store both directions as before but with shared sizes --
+  // value vectors are heavy, so store data only at (min, max))
+  std::vector<std::unordered_set<i64>> nbrs(n_ids);
+  {
+    std::vector<std::unordered_map<i64, std::vector<double>>> keyed(n_ids);
+    for (i64 a = 0; a < n_ids; ++a) {
+      for (auto& kv : adj[a]) {
+        i64 b = kv.first;
+        nbrs[a].insert(b);
+        nbrs[b].insert(a);
+        i64 lo = std::min(a, b), hi = std::max(a, b);
+        auto& dst = keyed[lo][hi];
+        if (dst.empty()) {
+          dst = std::move(kv.second);
+        } else {  // both orientations present among base edges
+          dst.insert(dst.end(), kv.second.begin(), kv.second.end());
+        }
+      }
+    }
+    adj = std::move(keyed);
+  }
+  auto table_at = [&](i64 a, i64 b) -> std::vector<double>* {
+    i64 lo = std::min(a, b), hi = std::max(a, b);
+    auto it = adj[lo].find(hi);
+    return it == adj[lo].end() ? nullptr : &it->second;
+  };
+  auto table_erase = [&](i64 a, i64 b) {
+    i64 lo = std::min(a, b), hi = std::max(a, b);
+    adj[lo].erase(hi);
+  };
+  std::vector<i64> sizes;
+  if (region_sizes) sizes.assign(region_sizes, region_sizes + n_ids);
+  for (i64 i = 0; i < n_merges; ++i) {
+    i64 a = order[3 * i], b = order[3 * i + 1], r2 = order[3 * i + 2];
+    if (a < 0 || b < 0 || r2 < 0 || a >= n_ids || b >= n_ids ||
+        r2 >= n_ids) {
+      out[i] = std::numeric_limits<double>::quiet_NaN();
+      continue;
+    }
+    if (region_sizes) sizes[r2] = sizes[a] + sizes[b];
+    auto* vals = table_at(a, b);
+    if (vals == nullptr) {
+      out[i] = std::numeric_limits<double>::quiet_NaN();
+      continue;
+    }
+    out[i] = upper_median(*vals);
+    if (region_sizes) out[i] *= (double)std::min(sizes[a], sizes[b]);
+    table_erase(a, b);
+    nbrs[a].erase(b);
+    nbrs[b].erase(a);
+    for (i64 src : {a, b}) {
+      for (i64 x : nbrs[src]) {
+        auto* ev = table_at(src, x);
+        if (ev == nullptr) continue;
+        auto* tv = table_at(r2, x);
+        if (tv == nullptr) {
+          i64 lo = std::min(r2, x), hi = std::max(r2, x);
+          adj[lo][hi] = std::move(*ev);
+        } else {
+          // small-to-large append
+          if (tv->size() < ev->size()) std::swap(*tv, *ev);
+          tv->insert(tv->end(), ev->begin(), ev->end());
+        }
+        table_erase(src, x);
+        nbrs[x].erase(src);
+        nbrs[x].insert(r2);
+        nbrs[r2].insert(x);
+      }
+      nbrs[src].clear();
+    }
+  }
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

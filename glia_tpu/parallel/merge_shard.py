@@ -335,6 +335,115 @@ def shard_merge_inputs(u, v, payload, n_shards, headroom=2.0,
     return uf, vf, gf, pf, af, C
 
 
+def _build_exact_saliency_sharded_fn(mesh, E_shard, M, R, L, dtype):
+    """Edge-partitioned exact-saliency replay (see graph.merge_device.
+    exact_saliency_device for the LCA identity): each shard computes its
+    edges' tree-LCAs against the REPLICATED ancestor tables (built from
+    the replicated order on every shard), segment-sums its payload
+    locally, and one psum pair makes the per-merge exact pooled (s, c)
+    global."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    key = ("exact_sal_shard", id(mesh), E_shard, M, R, L, str(dtype))
+    fn = _JIT_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    n_ids = R + M
+    vid = jnp.arange(n_ids, dtype=jnp.int32)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(EDGE_AXIS), P(EDGE_AXIS), P(EDGE_AXIS),
+                       P(EDGE_AXIS), P()),
+             out_specs=P(), check_vma=False)
+    def run(u, v, s, c, order):
+        parent = vid
+        parent = parent.at[order[:, 0]].set(order[:, 2])
+        parent = parent.at[order[:, 1]].set(order[:, 2])
+        anc = [parent]
+        depth = (parent != vid).astype(jnp.int32)
+        p = parent
+        for _ in range(L - 1):
+            depth = depth + depth[p]
+            p = p[p]
+            anc.append(p)
+        root = anc[-1]
+
+        a = u
+        b = v
+        da = depth[a]
+        db = depth[b]
+        swap = db > da
+        a, b = jnp.where(swap, b, a), jnp.where(swap, a, b)
+        diff = jnp.abs(da - db)
+        for k in range(L - 1, -1, -1):
+            lift = (diff >> k) & 1 > 0
+            a = jnp.where(lift, anc[k][a], a)
+        same = a == b
+        for k in range(L - 1, -1, -1):
+            ka = anc[k][a]
+            kb = anc[k][b]
+            go = ~same & (ka != kb)
+            a = jnp.where(go, ka, a)
+            b = jnp.where(go, kb, b)
+        lca = jnp.where(same, a, anc[0][a])
+        valid = root[u] == root[v]
+        seg = jnp.where(valid, lca, n_ids)
+        s_tot = jax.ops.segment_sum(jnp.where(valid, s, 0.0), seg,
+                                    num_segments=n_ids + 1)
+        c_tot = jax.ops.segment_sum(jnp.where(valid, c, 0.0), seg,
+                                    num_segments=n_ids + 1)
+        s_tot = jax.lax.psum(s_tot, EDGE_AXIS)
+        c_tot = jax.lax.psum(c_tot, EDGE_AXIS)
+        cm = c_tot[order[:, 2]]
+        sm = s_tot[order[:, 2]]
+        return jnp.where(cm > 0, sm / jnp.maximum(cm, 1.0),
+                         jnp.asarray(jnp.nan, dtype))
+
+    fn = jax.jit(run)
+    _JIT_CACHE[key] = fn
+    return fn
+
+
+def exact_saliency_sharded(u, v, s, c, order, n_regions, mesh,
+                           dtype=None):
+    """Sharded exact merge-time pooled-mean replay over the device mesh
+    (the SNEMI-path variant of graph.merge_device.exact_saliency_device;
+    VERDICT r4 item #1).  order: [M, 3] dense-index triples.  Returns
+    stat [M] (NaN where the popped boundary is empty); comm = one psum
+    pair over [n_ids] per call."""
+    import jax
+    import jax.numpy as jnp
+
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    order = np.asarray(order, dtype=np.int32).reshape(-1, 3)
+    M = len(order)
+    R = int(n_regions)
+    if M == 0:
+        return np.zeros(0)
+    D = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    E = len(u)
+    E_pad = ((E + D - 1) // D) * D
+    u_p = np.zeros(E_pad, np.int32)
+    v_p = np.zeros(E_pad, np.int32)
+    s_p = np.zeros(E_pad)
+    c_p = np.zeros(E_pad)
+    u_p[:E] = u
+    v_p[:E] = v
+    s_p[:E] = s
+    c_p[:E] = c
+    n_ids = R + M
+    L = max(1, int(np.ceil(np.log2(max(n_ids, 2)))))
+    fn = _build_exact_saliency_sharded_fn(mesh, E_pad // D, M, R, L, dtype)
+    stat = fn(jnp.asarray(u_p), jnp.asarray(v_p),
+              jnp.asarray(s_p, dtype), jnp.asarray(c_p, dtype),
+              jnp.asarray(order))
+    return np.asarray(stat)
+
+
 def merge_batched_sharded(u, v, s, c, n_regions, mesh, dmax=4,
                           max_supersteps=64, dtype=None, stats=None,
                           headroom=2.0):

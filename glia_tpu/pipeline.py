@@ -316,11 +316,11 @@ def hmt_segment(pb, intensity, model: HmtModel, watershed_level=0.05,
     if engine == "device":
         from .graph.merge_device import greedy_merge_device
 
-        if model.policy not in ("mean", "median"):
+        if model.policy not in ("mean", "median", "median_minsize"):
             raise ValueError(
-                f"device merge engine supports policies 'mean'|'median'; "
-                f"model.policy={model.policy!r} (e.g. 'median_minsize' "
-                f"keeps its min-size constraint only under engine='host')")
+                f"device merge engine supports policies "
+                f"'mean'|'median'|'median_minsize'; "
+                f"model.policy={model.policy!r}")
         order, sals = greedy_merge_device(rag, pb, policy=model.policy)
     elif engine == "host":
         order, sals = greedy_merge_native(rag, pb, policy=model.policy)

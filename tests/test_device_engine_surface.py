@@ -112,14 +112,22 @@ def test_pipeline_hmt_segment_device_bc_rejects_simple_features():
         hmt_segment(te["pb"], te["intensity"], model, engine="device_bc")
 
 
-def test_pipeline_hmt_segment_device_rejects_unsupported_policy():
+def test_pipeline_hmt_segment_device_policies():
+    # round 5: all THREE reference policies run on the device engine
+    # (median_minsize via the additive vertex-size payload); an unknown
+    # policy still raises loudly
     from glia_tpu.pipeline import hmt_segment, hmt_train
 
     tr = synthetic_em_slice((64, 64), n_cells=10, seed=3)
     te = synthetic_em_slice((64, 64), n_cells=10, seed=4)
     model = hmt_train([tr], n_trees=15, n_bins=8, watershed_level=0.05)
     model.policy = "median_minsize"
-    with pytest.raises(ValueError, match="median_minsize"):
+    seg_d, info = hmt_segment(te["pb"], te["intensity"], model,
+                              engine="device")
+    assert seg_d.shape == te["pb"].shape
+    assert len(np.unique(seg_d)) > 1
+    model.policy = "geometric_mean"
+    with pytest.raises(ValueError, match="geometric_mean"):
         hmt_segment(te["pb"], te["intensity"], model, engine="device")
 
 

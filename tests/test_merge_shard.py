@@ -107,3 +107,22 @@ def test_sharded_merge_comm_counters(case):
     assert stats["routed_rows"] <= stats["n_supersteps"] * rag.n_edges
     n_ids = rag.n_regions + max(rag.n_regions - 1, 1)
     assert stats["allreduce_bytes"] == stats["n_supersteps"] * 4 * n_ids * 4
+
+
+def test_exact_saliency_sharded_matches_host_replay(case):
+    """The edge-partitioned LCA replay over the 8-way mesh equals the
+    serial host replay row-for-row (VERDICT r5 item #1, SNEMI path)."""
+    from glia_tpu.parallel.merge_shard import (exact_saliency_sharded,
+                                               merge_batched_sharded)
+
+    data, seg, rag = case
+    u, v, s, c = edge_mean_arrays(rag, data["pb"])
+    o8, s8, n8 = merge_batched_sharded(u, v, s, c, rag.n_regions,
+                                       _mesh(8), dmax=4)
+    order = np.asarray(o8)[:n8]
+    host = replay_exact_saliency(u, v, s, c, order)
+    shd = exact_saliency_sharded(u, v, s, c, order, rag.n_regions,
+                                 _mesh(8))
+    np.testing.assert_array_equal(np.isnan(host), np.isnan(shd))
+    ok = np.isfinite(host)
+    np.testing.assert_allclose(shd[ok], host[ok], rtol=1e-9, atol=1e-12)

@@ -50,7 +50,13 @@ def peak_gb():
 
 
 def region_majority_truth(rag, truth):
-    """Majority truth label per region (packed-key unique counts)."""
+    """Majority truth label per region (packed-key unique counts).
+
+    Also returns the full (region, truth-label, count) sparse pair table
+    -- the ONE voxel pass all downstream metrics aggregate from: every
+    threshold-cut segmentation is a merge of watershed regions, so its
+    voxel-level contingency vs truth is exactly this table grouped by
+    merged component (no per-tau 105M-voxel rescan)."""
     t = np.asarray(truth).ravel().astype(np.int64)
     rl = np.diff(rag.region_ptr)
     rid = np.repeat(np.arange(rag.n_regions, dtype=np.int64), rl)
@@ -64,7 +70,23 @@ def region_majority_truth(rag, truth):
     order = np.argsort(cnt, kind="stable")
     maj[regs[order]] = labs[order]
     best[regs[order]] = cnt[order]
-    return maj
+    return maj, (regs, labs, cnt.astype(np.int64))
+
+
+def resolve_components(okeys, mask, keys, n_keys):
+    """Final component key per leaf key under the cut ``mask`` (the
+    monotonized cut is prefix-closed, so selected rows form a consistent
+    forest); vectorized pointer doubling."""
+    parent = np.arange(n_keys, dtype=np.int64)
+    sel = np.asarray(okeys)[mask]
+    parent[sel[:, 0]] = sel[:, 2]
+    parent[sel[:, 1]] = sel[:, 2]
+    while True:
+        p2 = parent[parent]
+        if np.array_equal(p2, parent):
+            break
+        parent = p2
+    return parent[keys]
 
 
 def main():
@@ -79,13 +101,15 @@ def main():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # exact integer pair counts in the device metric path (the CPU test
+    # environment runs x64 too, conftest.py)
+    jax.config.update("jax_enable_x64", True)
 
     import jax.numpy as jnp
 
     from glia_tpu.data.synthetic import synthetic_em_stack
     from glia_tpu.graph.merge import apply_merge_order
-    from glia_tpu.graph.merge_device import (
-        order_to_keys, replay_exact_saliency, threshold_cut)
+    from glia_tpu.graph.merge_device import order_to_keys, threshold_cut
     from glia_tpu.graph.rag import build_rag
     from glia_tpu.metrics import eval_ri, eval_vi
     from glia_tpu.native import watershed_native
@@ -122,7 +146,7 @@ def main():
 
     # ---- truth-derived edge labels (merge iff same majority body) ----
     t0 = time.time()
-    maj = region_majority_truth(rag, truth)
+    maj, (rt_regs, rt_labs, rt_cnt) = region_majority_truth(rag, truth)
     ui = rag.key_index(rag.edges[:, 0]).astype(np.int32)
     vi = rag.key_index(rag.edges[:, 1]).astype(np.int32)
     labels = (maj[ui] == maj[vi]).astype(np.float32)
@@ -187,27 +211,81 @@ def main():
         f"(moved {mstats['moved_rows']}), C={mstats['capacity']} "
         f"({stages['sharded_merge']}s, peak {peak_gb():.1f}GB)")
 
-    # ---- exact replay + threshold cuts + evaluation ----
+    # ---- exact replay (SHARDED, VERDICT r5 #1) + threshold cuts ----
     t0 = time.time()
+    from glia_tpu.parallel.merge_shard import exact_saliency_sharded
+
     order_np = np.asarray(order_d)[:n_m]
-    ex = replay_exact_saliency(ui, vi, s_arr, cnt, order_np)
+    ex = exact_saliency_sharded(ui, vi, s_arr, cnt, order_np, R, mesh)
     okeys = order_to_keys(order_d, n_m, rag)
     stages["replay"] = round(time.time() - t0, 1)
+    log(f"sharded exact-saliency replay: {stages['replay']}s")
+
+    # ---- evaluation from the ONE region-truth pair table (r5 #5):
+    # device sparse-pair metrics (metrics/device.py), counts asserted
+    # exactly equal to the host int64 aggregation ----
     t0 = time.time()
-    fs0, fm0, vi0 = eval_vi(seg, truth)
-    p0, r0, e0 = eval_ri(seg, truth)
+    from glia_tpu.metrics.device import (adapted_rand_from_pairs_device,
+                                         vi_from_pairs_device)
+
+    assert int(rt_cnt.sum()) == int(truth.size)  # table covers all voxels
+    keep = rt_labs != 0                          # truth BG excluded
+    n_keys = int(okeys[:, 2].max(initial=int(rag.keys.max()))) + 1
+    T = int(rt_labs.max()) + 1
+
+    def eval_pairs(comp_of_region):
+        comp = comp_of_region[rt_regs[keep]]
+        lab = rt_labs[keep]
+        c_host = rt_cnt[keep]
+        uc, sid = np.unique(comp, return_inverse=True)
+        S = len(uc)
+        # host exact aggregation (int64) as the assert oracle
+        code = sid * T + lab
+        agg_host = np.bincount(code, weights=c_host,
+                               minlength=S * T).astype(np.int64)
+        nz = np.nonzero(agg_host)[0]
+        sidn = (nz // T).astype(np.int32)
+        tidn = (nz % T).astype(np.int32)
+        cn = agg_host[nz]
+        # device aggregation cross-check: identical integer counts
+        agg_dev = np.asarray(jax.jit(
+            lambda cd, code: jax.ops.segment_sum(
+                cd, code, num_segments=S * T))(
+            jnp.asarray(c_host, jnp.float64), jnp.asarray(code)))
+        assert (agg_dev.astype(np.int64) == agg_host).all(), \
+            "device pair counts != host ints"
+        fs, fm, vi_t = (float(x) for x in vi_from_pairs_device(
+            sidn, tidn, cn, S, T, itk_quirk=True))
+        pr, rc, er = (float(x) for x in
+                      adapted_rand_from_pairs_device(
+                          sidn, tidn, cn, S, T))
+        return fs, fm, vi_t, pr, rc, er, S
+
+    ws_comp = rag.keys.astype(np.int64)          # identity cut
+    fs0, fm0, vi0, p0, r0, e0, S0 = eval_pairs(ws_comp)
     rows = []
     for tau in (0.3, 0.5, 0.7):
         m = threshold_cut(okeys, ex, tau)
-        seg_t = apply_merge_order(seg, okeys[m])
-        fs, fm, vi_t = eval_vi(seg_t, truth)
-        pr, rc, er = eval_ri(seg_t, truth)
+        comp = resolve_components(okeys, m, rag.keys.astype(np.int64),
+                                  n_keys)
+        fs, fm, vi_t, pr, rc, er, S_t = eval_pairs(comp)
         rows.append({"tau": tau, "n_merged": int(m.sum()),
                      "vi": round(vi_t, 4), "vi_split": round(fs, 4),
                      "vi_merge": round(fm, 4), "rand_error": round(er, 4)})
         log(f"tau {tau}: VI {vi_t:.4f} (ws {vi0:.4f}), ARE {er:.4f} "
-            f"(ws {e0:.4f}), {int(m.sum())} merges")
+            f"(ws {e0:.4f}), {int(m.sum())} merges, {S_t} regions")
+    if os.environ.get("GLIA_E2E_HOST_CHECK"):
+        # full voxel-level host oracle at one tau (slow; validation only)
+        m = threshold_cut(okeys, ex, 0.7)
+        seg_t = apply_merge_order(seg, okeys[m])
+        hfs, hfm, hvi = eval_vi(seg_t, truth)
+        _, _, her = eval_ri(seg_t, truth)
+        log(f"HOST CHECK tau 0.7: VI {hvi:.6f} vs pairs {rows[-1]['vi']}"
+            f", ARE {her:.6f} vs {rows[-1]['rand_error']}")
+        assert abs(hvi - rows[-1]["vi"]) < 1e-3
     stages["cut_eval"] = round(time.time() - t0, 1)
+    log(f"pair-table eval (device sparse metrics): "
+        f"{stages['cut_eval']}s for watershed + 3 taus")
 
     out = {
         "config": f"SNEMI-scale e2e {Z}x{side}x{side} @ {n_shards}",
