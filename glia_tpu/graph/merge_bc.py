@@ -176,7 +176,10 @@ class DynamicRagState:
         parts) + residual."""
         tot = _BStats(self.cfg)
         tot.add(self.residual[c])
-        for nb in self.adj.get(c, ()):
+        # canonical (sorted) accumulation order: float sums become
+        # deterministic and engine-independent, so the native C++ oracle
+        # (glia_bc.cc) reproduces them bit-for-bit
+        for nb in sorted(self.adj.get(c, ())):
             ent = self.entries.get((c, nb))
             if ent is not None:
                 tot.add(ent["m"])
@@ -227,7 +230,7 @@ class DynamicRagState:
         tot.add(self.residual[c0])
         tot.add(self.residual[c1])
         for (src, other_end) in ((c0, c1), (c1, c0)):
-            for nb in self.adj.get(src, ()):
+            for nb in sorted(self.adj.get(src, ())):
                 ent = self.entries.get((src, nb))
                 if ent is None:
                     continue

@@ -20,10 +20,13 @@ _lock = threading.Lock()
 _lib = None
 
 
+_SRC_BC = os.path.join(_HERE, "src", "glia_bc.cc")
+
+
 def _build():
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        _SRC, "-o", _LIB,
+        _SRC, _SRC_BC, "-o", _LIB,
     ]
     subprocess.run(cmd, check=True, capture_output=True)
 
@@ -34,7 +37,8 @@ def get_lib():
         if _lib is not None:
             return _lib
         if (not os.path.exists(_LIB)
-                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
+                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC_BC)):
             _build()
         lib = ctypes.CDLL(_LIB)
         i64 = ctypes.c_int64
@@ -65,6 +69,17 @@ def get_lib():
         lib.glia_replay_saliency.restype = None
         lib.glia_replay_saliency.argtypes = [
             i64, p_i32, p_i32, p_f64, p_f64, i64, i64, p_i32, p_f64,
+        ]
+        lib.glia_bc_greedy_merge.restype = i64
+        lib.glia_bc_greedy_merge.argtypes = [
+            i64, p_i64, p_i64, p_i64, p_i64,          # regions
+            i64, p_i64, p_i64, p_i64, p_i64,          # directed pairs
+            i64, p_i64, i64, p_f64, i64,              # ndim/shape/images
+            i64, ctypes.c_double, ctypes.c_double,    # bins/range
+            p_f64, i64, p_f64,                        # pb/thresholds
+            i64, i64, p_i32, p_f32, p_i32, p_i32, p_i32,
+            ctypes.c_int,                             # forest
+            p_i64, p_f64, i64, p_i64,                 # outputs
         ]
         lib.glia_replay_saliency_median.restype = None
         lib.glia_replay_saliency_median.argtypes = [
@@ -157,6 +172,80 @@ def replay_saliency_native(u, v, s, c, order, n_ids):
     lib.glia_replay_saliency(len(u), u, v, s, c, int(n_ids), n,
                              np.ascontiguousarray(order.ravel()), out)
     return out[:n]
+
+
+def greedy_merge_bc_native(rag, cfg, model, label=-1, max_merges=None):
+    """Serial classifier-in-the-loop greedy merge via the C++ engine
+    (glia_bc.cc): the same algorithm as graph.merge_bc.greedy_merge_bc,
+    BIT-FOR-BIT (canonical sorted-neighbor accumulation, numpy pairwise
+    sums, heapq tie rule) but ~100x faster -- the serial oracle that
+    extends device-vs-serial midcut parity tables past 512^2
+    (util/struct_merge_bc.hxx:10-58 semantics).
+
+    Supports the FeatureConfig.standard subset: r_images == b_images,
+    no rl_images, shared hist bins/range, normalizing 1.0, no log-shape
+    and no histogram/median extra feats.  Returns (order [n, 3] int64
+    label-key triples, probs [n])."""
+    lib = get_lib()
+    if (cfg.rl_images or cfg.use_log_shape or cfg.histogram_as_feats
+            or cfg.median_as_feats or cfg.normalizing_area != 1.0
+            or cfg.normalizing_length != 1.0):
+        raise ValueError("native BC engine supports the standard "
+                         "feature-config subset only")
+    if len(cfg.r_images) != len(cfg.b_images) or any(
+            ri.image is not bi.image or ri.hist_bins != bi.hist_bins
+            or ri.hist_range != bi.hist_range
+            for ri, bi in zip(cfg.r_images, cfg.b_images)):
+        raise ValueError("native BC engine needs r_images == b_images "
+                         "(FeatureConfig.standard)")
+    bins = {i.hist_bins for i in cfg.r_images}
+    ranges = {i.hist_range for i in cfg.r_images}
+    if len(bins) != 1 or len(ranges) != 1:
+        raise ValueError("native BC engine needs one shared hist config")
+    n_bins = bins.pop()
+    lo, hi = ranges.pop()
+    if rag.region_ptr is None or rag.dir_pairs is None:
+        raise ValueError("build RAG with contour_only=False")
+
+    shape = np.asarray(rag.shape, dtype=np.int64)
+    n_pixels = int(np.prod(shape))
+    images = np.ascontiguousarray(np.stack(
+        [np.asarray(im.image, dtype=np.float64).ravel()
+         for im in cfg.r_images]))
+    pb = np.ascontiguousarray(np.asarray(cfg.pb_image,
+                                         dtype=np.float64).ravel())
+    thresholds = np.ascontiguousarray(cfg.boundary_thresholds,
+                                      dtype=np.float64)
+    border_counts = np.ascontiguousarray(np.diff(rag.border_ptr),
+                                         dtype=np.int64)
+    li = int(np.nonzero(model.classes == label)[0][0])
+    if max_merges is None:
+        max_merges = max(rag.n_regions - 1, 0)
+    order = np.zeros(max(max_merges * 3, 1), dtype=np.int64)
+    probs = np.zeros(max(max_merges, 1), dtype=np.float64)
+    feat_dim = np.zeros(1, dtype=np.int64)
+    n = lib.glia_bc_greedy_merge(
+        rag.n_regions,
+        np.ascontiguousarray(rag.keys, dtype=np.int64),
+        np.ascontiguousarray(rag.region_ptr, dtype=np.int64),
+        np.ascontiguousarray(rag.region_pixels, dtype=np.int64),
+        border_counts,
+        len(rag.dir_pairs),
+        np.ascontiguousarray(rag.dir_pairs[:, 0], dtype=np.int64),
+        np.ascontiguousarray(rag.dir_pairs[:, 1], dtype=np.int64),
+        np.ascontiguousarray(rag.dir_ptr, dtype=np.int64),
+        np.ascontiguousarray(rag.dir_pixels, dtype=np.int64),
+        len(shape), shape, len(cfg.r_images), images, n_pixels,
+        int(n_bins), float(lo), float(hi),
+        pb, len(thresholds), thresholds,
+        model.n_trees, model.feature.shape[1],
+        np.ascontiguousarray(model.feature, dtype=np.int32),
+        np.ascontiguousarray(model.threshold, dtype=np.float32),
+        np.ascontiguousarray(model.left, dtype=np.int32),
+        np.ascontiguousarray(model.right, dtype=np.int32),
+        np.ascontiguousarray(model.leaf_class, dtype=np.int32),
+        li, order, probs, max_merges, feat_dim)
+    return order[: n * 3].reshape(-1, 3).copy(), probs[:n].copy()
 
 
 def replay_saliency_median_native(u, v, edge_ptr, edge_vals, order,

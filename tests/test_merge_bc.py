@@ -105,3 +105,47 @@ def test_candidate_features_match_tree_features_median(case):
             got, bc_rows[mi], rtol=1e-9, atol=1e-12,
             err_msg=f"merge {mi} ({r0},{r1})->{r2}")
         state.merge(int(r0), int(r1), int(r2))
+
+
+def test_native_bc_engine_matches_python_oracle():
+    """VERDICT r5 item #2: the C++ classifier-in-the-loop engine
+    (glia_bc.cc) must reproduce the Python oracle BIT-FOR-BIT -- same
+    order rows AND same probabilities (canonical accumulation order,
+    numpy pairwise sums, heapq tie rule)."""
+    import scipy.ndimage as ndi
+
+    from glia_tpu.data.synthetic import synthetic_em_slice
+    from glia_tpu.features import FeatureConfig, TreeFeatures, bc_labels
+    from glia_tpu.graph.merge_bc import greedy_merge_bc
+    from glia_tpu.graph.rag import build_rag
+    from glia_tpu.models.forest import (predict_label_fraction,
+                                        train_forest)
+    from glia_tpu.native import (greedy_merge_bc_native,
+                                 greedy_merge_native, watershed_native)
+
+    tr = synthetic_em_slice((128, 128), n_cells=25, seed=1)
+    seg_t = watershed_native(ndi.gaussian_filter(tr["pb"], 1.0),
+                             level=0.004)
+    rag_t = build_rag(seg_t, contour_only=False)
+    cfg_t = FeatureConfig.standard(tr["pb"], tr["intensity"], n_bins=16)
+    order_t, _ = greedy_merge_native(rag_t, tr["pb"], policy="median")
+    X = TreeFeatures(rag_t, order_t, cfg_t, saliencies=None).bc_features()
+    y = bc_labels(seg_t, tr["truth"], order_t, rule="f1")[0]
+    model = train_forest(X, y, n_trees=30, seed=0)
+
+    te = synthetic_em_slice((192, 192), n_cells=50, seed=5)
+    seg0 = watershed_native(ndi.gaussian_filter(te["pb"], 1.0),
+                            level=0.004)
+    rag = build_rag(seg0, contour_only=False)
+    cfg = FeatureConfig.standard(te["pb"], te["intensity"], n_bins=16)
+
+    def predict_batch(F):
+        return predict_label_fraction(model, F, label=-1)
+
+    order_py, probs_py = greedy_merge_bc(
+        rag, cfg, lambda f: float(predict_batch(f[None, :])[0]),
+        predict_batch=predict_batch)
+    order_n, probs_n = greedy_merge_bc_native(rag, cfg, model)
+    assert len(order_n) == len(order_py)
+    np.testing.assert_array_equal(order_n, order_py)
+    np.testing.assert_array_equal(probs_n, probs_py)
