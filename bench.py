@@ -1,10 +1,12 @@
 """Headline benchmark: RAG greedy-merge edges/s/chip (BASELINE.json metric).
 
-What is measured ON DEVICE: the fused batched merge engine
-(glia_tpu.graph.merge_device.merge_batched_device, mode="fused") producing
-the COMPLETE merge order of a real watershed RAG -- the framework's
-equivalent of the reference's serial greedy hot loop (one pop+update of
-code/type/boundary_table.hxx:122-167 per merge, driver
+What is measured ON DEVICE: the fused batched merge engine producing the
+COMPLETE merge order of a real watershed RAG PLUS the exact merge-time
+saliencies (glia_tpu.graph.merge_device.merge_batched_device_exact: the
+multi-phase superstep merge and the LCA exact-saliency reduction as one
+XLA program) -- the framework's equivalent of the reference's serial
+greedy hot loop's full contract, order AND saliencies out (one
+pop+update of code/type/boundary_table.hxx:122-167 per merge, driver
 code/util/struct_merge.hxx:13-33).  One "edge" processed = one boundary
 retired (popped or rekeyed), identical accounting on both sides:
 edges/s = (E + n_merges) / wall.
@@ -39,12 +41,15 @@ os.environ.setdefault(
     os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
-SIDE = int(os.environ.get("GLIA_BENCH_SIDE", "2048"))
-# fused_ms: multi-phase fused merge (device-side capacity-shrinking tail
-# phases; identical cut components, tests/test_merge_device.py) -- the
-# fastest engine measured at this scale (1.31M edges/s vs 776k
-# single-phase, docs/RESULTS.md section 1).  Both its programs and the
-# single-phase fallback ship primed compile-cache entries.
+# 4096^2 (~600k edges, ~244k regions) is the production-scale default
+# (SNEMI itself is 1.4M edges); GLIA_BENCH_SIDE=2048 reproduces the
+# round-4 configuration.
+SIDE = int(os.environ.get("GLIA_BENCH_SIDE", "4096"))
+# fused_ms: multi-phase fused merge with an adaptive memoized capacity
+# plan; the steady state runs merge + exact saliency as ONE device
+# program (merge_batched_device_exact; identical cut components,
+# tests/test_merge_device.py) -- measured 1.39M edges/s at 4096^2 vs
+# 776k for the round-3 single-phase engine (docs/RESULTS.md section 1).
 MODE = os.environ.get("GLIA_BENCH_MODE", "fused_ms")
 
 
@@ -91,18 +96,32 @@ def main():
     # round-4's serial host replay is out of the production path).
     import jax
 
-    from glia_tpu.graph.merge_device import exact_saliency_device
+    from glia_tpu.graph.merge_device import (exact_saliency_device,
+                                             merge_batched_device_exact)
     from glia_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
     log(f"device: {jax.devices()[0]}")
     u, v, s, c = edge_mean_arrays(rag, pb)
     stats = {}
+
+    def run_exact(u, v, s, c):
+        # fused_ms: merge + exact saliency as ONE device program (one
+        # tunnel dispatch; merge_batched_device_exact); other modes keep
+        # the two-dispatch path
+        if MODE == "fused_ms":
+            return merge_batched_device_exact(u, v, s, c, R, stats=stats)
+        o, sb, n = merge_batched_device(u, v, s, c, R, stats=stats,
+                                        mode=MODE)
+        ex = exact_saliency_device(u, v, s, c, o, R)
+        import jax.numpy as _jnp
+
+        sal = _jnp.where(_jnp.isnan(ex), _jnp.asarray(sb), -ex)
+        return o, sal, n
+
     t0 = time.time()
-    order_b, sal_b, n_m = merge_batched_device(u, v, s, c, R, stats=stats,
-                                               mode=MODE)
-    ex_d = exact_saliency_device(u, v, s, c, order_b, R)
-    jax.block_until_ready(ex_d)
+    order_b, sal_b, n_m = run_exact(u, v, s, c)
+    jax.block_until_ready((order_b, sal_b))
     compile_dt = time.time() - t0
     log(f"first call (compile+run): {compile_dt:.1f}s, {n_m} merges, "
         f"{stats['n_supersteps']} supersteps")
@@ -123,10 +142,8 @@ def main():
     reps = []
     for _ in range(int(os.environ.get("GLIA_BENCH_REPS", "5"))):
         t0 = time.time()
-        order_b, sal_b, n_m = merge_batched_device(u_d, v_d, s_d, c_d, R,
-                                                   stats=stats, mode=MODE)
-        ex_d = exact_saliency_device(u_d, v_d, s_d, c_d, order_b, R)
-        jax.block_until_ready((order_b, ex_d))
+        order_b, sal_b, n_m = run_exact(u_d, v_d, s_d, c_d)
+        jax.block_until_ready((order_b, sal_b))
         reps.append(time.time() - t0)
     run_med = float(np.median(reps))
     run_min = float(np.min(reps))
@@ -152,10 +169,7 @@ def main():
     tau = -sal_h[k - 1]
     okeys = order_to_keys(order_b, n_m, rag)
     order_d = np.asarray(order_b)[:n_m]
-    ex = np.asarray(ex_d)[:n_m]
-    # NaN = empty popped boundary (never happens for fused-engine rows;
-    # defensively fall back to the engine's recorded stat)
-    ex = np.where(np.isnan(ex), -np.asarray(sal_b)[:n_m], ex)
+    ex = -np.asarray(sal_b)[:n_m]
     t0 = time.time()
     ex_host = replay_exact_saliency(u, v, s, c, order_d)
     okh = np.isfinite(ex_host)
@@ -165,7 +179,9 @@ def main():
         f"|device - host| = {dmax_sal:.3g} (f32 segment-sum rounding)")
     mask = threshold_cut(okeys, ex, tau)
     seg_b = apply_merge_order(seg, okeys[mask])
-    mask_stale = threshold_cut(okeys, -np.asarray(sal_b)[:n_m], tau)
+    _, sal_stale, _ = merge_batched_device(u_d, v_d, s_d, c_d, R,
+                                           mode=MODE)
+    mask_stale = threshold_cut(okeys, -np.asarray(sal_stale)[:n_m], tau)
     seg_stale = apply_merge_order(seg, okeys[mask_stale])
     seg_h = apply_merge_order(seg, order_h, threshold_index=k)
     _, _, vi_b = eval_vi(seg_b, data["truth"])

@@ -38,6 +38,14 @@ def _env_flag(name):
         "", "0", "false", "no", "off")
 
 
+def _pack64_enabled():
+    """Packed emission-sort key (hop, vid) -> one i32 operand (round-5
+    roofline lever; i64 packing is NOT available on TPU where x64 is
+    disabled, so only i32-safe packs are used).  Default ON;
+    GLIA_MERGE_NOPACK64=1 restores the round-4 4-operand sort for A/B."""
+    return not _env_flag("GLIA_MERGE_NOPACK64")
+
+
 def edge_mean_arrays(rag, pb_image):
     """Per-edge (sum, count) of boundary pb + dense endpoint indices."""
     pb = np.asarray(pb_image, dtype=np.float64).ravel()
@@ -379,7 +387,7 @@ def _build_fused_fn(stat_fn, E, R, dmax, max_supersteps, dtype,
     import jax.numpy as jnp
 
     key = ("fused", stat_fn, E, R, dmax, max_supersteps, str(dtype),
-           payload_struct, with_vsz)
+           payload_struct, with_vsz, _pack64_enabled())
     fn = _JIT_CACHE.get(key)
     if fn is not None:
         return fn
@@ -396,6 +404,7 @@ def _build_fused_fn(stat_fn, E, R, dmax, max_supersteps, dtype,
     # (dmax+2)*(n_ids+1) < 2^31; fall back to two gathers/hop otherwise.
     pack_hr = (dmax + 2) * (n_ids + 1) < 2 ** 31
     INF_H = jnp.int32(dmax + 1) if pack_hr else jnp.int32(n_ids + 7)
+    _PK = _pack64_enabled()
 
     def cond(state):
         step, n_m, u, v, payload, vstate, alive, order, sal = state
@@ -466,8 +475,15 @@ def _build_fused_fn(stat_fn, E, R, dmax, max_supersteps, dtype,
         rt_key = jnp.where(attach | is_root, rt, n_ids)
         b_key = jnp.where(attach, mbits, jnp.int32(-2 ** 31))  # roots first
         h_key = jnp.where(attach | is_root, h, INF_H)
-        rt_s, _, h_s, vs = jax.lax.sort(
-            (rt_key, b_key, h_key, vid), num_keys=4)
+        if _PK and pack_hr:
+            hvid = h_key * jnp.int32(n_ids + 1) + vid
+            rt_s, _, hvid_s = jax.lax.sort(
+                (rt_key, b_key, hvid), num_keys=3)
+            h_s = hvid_s // jnp.int32(n_ids + 1)
+            vs = hvid_s % jnp.int32(n_ids + 1)
+        else:
+            rt_s, _, h_s, vs = jax.lax.sort(
+                (rt_key, b_key, h_key, vid), num_keys=4)
         is_merge = (rt_s < n_ids) & (h_s >= 1)     # attached rows
         grank = jnp.cumsum(is_merge.astype(jnp.int32)) - 1
         first = jnp.concatenate(
@@ -648,6 +664,70 @@ def merge_batched_device(u, v, s, c, n_regions, max_supersteps=256,
                                  select_rounds=select_rounds, stats=stats)
 
 
+def merge_batched_device_exact(u, v, s, c, n_regions, dmax=4,
+                               max_supersteps=256, dtype=None,
+                               stats=None):
+    """Pooled-mean fused_ms merge AND exact merge-time saliencies as ONE
+    device program / ONE tunnel dispatch (the production matched-VI
+    path, VERDICT r5 items #1 + #6): the memoized multi-phase plan plus
+    the LCA exact-saliency reduction trace into a single jit call.  The
+    first call per shape runs the adaptive plan discovery and the
+    saliency depth-capacity probe (separate dispatches, memoized);
+    steady-state calls are one dispatch + one batched scalar readback.
+
+    Returns (order [max_m, 3] dense triples, saliencies with exact
+    merge-time pooled means where defined, n_merges)."""
+    import jax
+    import jax.numpy as jnp
+
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    E = len(u)
+    R = int(n_regions)
+    max_m = max(R - 1, 1)
+    sc = jnp.stack([jnp.asarray(s, dtype), jnp.asarray(c, dtype)],
+                   axis=1)
+    struct = ((2, str(sc.dtype)),)
+    memo_key = (E, R, _mean_stat_packed, struct, dmax, str(dtype), False)
+    sal_key = (E, max_m, R, str(dtype))
+    plan = _PLAN_MEMO.get(memo_key)
+    L = _EXACT_SAL_L.get(sal_key)
+    u_d = jnp.asarray(u, jnp.int32)
+    v_d = jnp.asarray(v, jnp.int32)
+    if plan is None or L is None:
+        # discovery path: adaptive plan + saliency depth probe
+        order, sal, n_m = merge_batched_device(
+            u_d, v_d, sc[:, 0], sc[:, 1], R, dmax=dmax,
+            max_supersteps=max_supersteps, dtype=dtype, stats=stats,
+            mode="fused_ms")
+        ex = exact_saliency_device(u_d, v_d, sc[:, 0], sc[:, 1],
+                                   order, R, dtype=dtype)
+        ex = jnp.asarray(ex)
+        sal = jnp.where(jnp.isnan(ex), jnp.asarray(sal), -ex)
+        return order, sal, n_m
+    fn = _build_plan_pipeline_fn(
+        tuple((s0, e0, r0) for s0, e0, r0 in plan), _mean_stat_packed,
+        R, dmax, max_supersteps, dtype, struct, False, sal_L=L)
+    order, sal, n_m_d, steps_d, bad, conv = fn(u_d, v_d, (sc,), ())
+    vals = np.asarray(jnp.stack(
+        [n_m_d, steps_d, bad.astype(jnp.int32), conv.astype(jnp.int32)]))
+    if vals[2] or not vals[3]:
+        # plan overflowed or saliency depth capacity too small for this
+        # data: drop the memos and take the discovery path
+        _PLAN_MEMO.pop(memo_key, None)
+        _EXACT_SAL_L.pop(sal_key, None)
+        if stats is not None:
+            stats["fallback"] = True
+        return merge_batched_device_exact(
+            u, v, s, c, n_regions, dmax=dmax,
+            max_supersteps=max_supersteps, dtype=dtype, stats=stats)
+    if stats is not None:
+        stats["n_supersteps"] = int(vals[1])
+        stats["buckets"] = [e for _, e, _ in plan]
+        stats["fallback"] = False
+    return order, sal, int(vals[0])
+
+
 _HIST_STATS = {}
 _MINSIZE_STATS = {}
 
@@ -733,18 +813,38 @@ def threshold_cut(order, stats, tau):
     to extract "merge everything weaker than tau" from any merge
     hierarchy (equals the prefix cut for a serial sorted order).
     Returns a boolean mask over merges (prefix-closed by construction).
+
+    The monotonized statistic is the max over each merge's subtree of
+    merge rows; fused-engine trees are shallow (depth <= dmax *
+    supersteps), so a vectorized level-propagation loop converges in
+    ~depth sweeps -- at SNEMI scale this replaced a 1.1M-iteration
+    Python dict loop that dominated the e2e eval stage.  Deep (serial)
+    hierarchies fall back to the exact sequential pass.
     """
     order = np.asarray(order).reshape(-1, 3)
     stats = np.asarray(stats, dtype=np.float64)
-    built_by = {}
-    mono = np.empty(len(order))
-    for i, (r0, r1, r2) in enumerate(order):
-        m = stats[i]
-        for r in (int(r0), int(r1)):
-            if r in built_by:
-                m = max(m, mono[built_by[r]])
-        mono[i] = m
-        built_by[int(r2)] = i
+    n = len(order)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    hi = int(max(order[:, 2].max(), order[:, :2].max())) + 2
+    lut = np.full(hi, -1, dtype=np.int64)
+    lut[order[:, 2]] = np.arange(n)
+    c0 = lut[order[:, 0]]
+    c1 = lut[order[:, 1]]
+    # subtree-max by pointer jumping: parent[j] = row that consumed
+    # r2_j; max is idempotent, so scatter-max along 2^k links for
+    # k = 0..log2(depth) covers every descendant -- O(n log depth)
+    # regardless of chain length (a serial order is one n-deep chain)
+    rows = np.arange(n, dtype=np.int64)
+    parent = np.full(n, -1, dtype=np.int64)
+    parent[c0[c0 >= 0]] = rows[c0 >= 0]
+    parent[c1[c1 >= 0]] = rows[c1 >= 0]
+    mono = stats.copy()
+    par = parent
+    while (par >= 0).any():
+        valid = par >= 0
+        np.maximum.at(mono, par[valid], mono[valid])
+        par = np.where(valid, np.take(par, np.maximum(par, 0)), -1)
     return mono <= tau
 
 
@@ -1068,6 +1168,14 @@ def greedy_merge_device(rag, pb_image, policy="mean", n_bins=32,
     """
     if policy == "mean":
         u, v, s, c = edge_mean_arrays(rag, pb_image)
+        if (exact_saliency and saliency_engine == "device"
+                and mode == "fused_ms"):
+            # merge + exact saliencies as ONE device program (one
+            # dispatch; merge_batched_device_exact)
+            order, sal, n_m = merge_batched_device_exact(
+                u, v, s, c, rag.n_regions, dmax=dmax, stats=stats)
+            sal = np.asarray(sal)[:n_m]
+            return order_to_keys(order, n_m, rag), sal
         order, sal, n_m = merge_batched_device(
             u, v, s, c, rag.n_regions, mode=mode, dmax=dmax, stats=stats)
         sal = np.asarray(sal)[:n_m]
@@ -1170,7 +1278,7 @@ def _build_phase_fn(stat_fn, E, R_loc, R_glob, max_m_glob, dmax,
 
     key = ("phase", stat_fn, E, R_loc, R_glob, max_m_glob, dmax,
            max_steps, str(dtype), payload_struct, identity_g, with_vsz,
-           _env_flag("GLIA_MERGE_UNROLL"))
+           _pack64_enabled(), _env_flag("GLIA_MERGE_UNROLL"))
     fn = _JIT_CACHE.get(key)
     if fn is not None:
         return fn
@@ -1183,6 +1291,7 @@ def _build_phase_fn(stat_fn, E, R_loc, R_glob, max_m_glob, dmax,
     big32 = jnp.int32(2 ** 31 - 1)
     pack_hr = (dmax + 2) * (n_ids + 1) < 2 ** 31
     INF_H = jnp.int32(dmax + 1) if pack_hr else jnp.int32(n_ids + 7)
+    _PK = _pack64_enabled()
 
     def run(u0, v0, payload0, vstate0, alive0, g_of, n_m_base, order0,
             sal0):
@@ -1259,8 +1368,18 @@ def _build_phase_fn(stat_fn, E, R_loc, R_glob, max_m_glob, dmax,
             rt_key = jnp.where(attach | is_root, rt, jnp.int32(n_ids))
             b_key = jnp.where(attach, mbits, jnp.int32(-2 ** 31))
             h_key = jnp.where(attach | is_root, h, INF_H)
-            rt_s, _, h_s, vs = jax.lax.sort(
-                (rt_key, b_key, h_key, vid), num_keys=4)
+            if _PK and pack_hr:
+                # 3-operand sort: (hop, vertex id) packed into one i32
+                # (the pack_hr bound guarantees the product fits) --
+                # same lexicographic order as the 4-key sort
+                hvid = h_key * jnp.int32(n_ids + 1) + vid
+                rt_s, _, hvid_s = jax.lax.sort(
+                    (rt_key, b_key, hvid), num_keys=3)
+                h_s = hvid_s // jnp.int32(n_ids + 1)
+                vs = hvid_s % jnp.int32(n_ids + 1)
+            else:
+                rt_s, _, h_s, vs = jax.lax.sort(
+                    (rt_key, b_key, h_key, vid), num_keys=4)
             is_merge = (rt_s < n_ids) & (h_s >= 1)
             grank = jnp.cumsum(is_merge.astype(jnp.int32)) - 1
             first = jnp.concatenate(
@@ -1445,6 +1564,96 @@ def _build_trans_fn(E_prev, R_loc_prev, R_glob, E2, R2_cap, dtype,
     return fn
 
 
+_PLAN_MEMO = {}
+
+
+def _build_plan_pipeline_fn(plan, stat_fn, R, dmax, max_supersteps,
+                            dtype, struct, with_vsz, sal_L=None):
+    """ONE jitted program for a memoized multi-phase plan: every phase
+    and transition (and optionally the exact-saliency LCA replay) traced
+    inline.  Motivation (round-5 roofline): a jit CALL through the
+    remote TPU tunnel costs ~25 ms regardless of content (measured:
+    one 149k-row sort per call = 25 ms, twenty sorts in one jit =
+    29 ms), so the round-4 structure of 3 phase + 2 transition + 1
+    saliency dispatches paid ~150 ms of pure dispatch.  This collapses
+    the steady-state merge to a single dispatch.
+
+    sal_L: when set, the program also computes exact merge-time pooled
+    means from the MEAN-policy packed payload (payload[0][:, 0:2]) via
+    the LCA reduction with depth capacity 2^(sal_L-1), returning
+    (order, sal_exact, n_m, steps, bad, converged); otherwise
+    (order, sal, n_m, steps, bad).  ``bad`` = capacity overflow OR
+    unfinished frontier (caller falls back to the single-phase engine).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    key = ("pipeline", tuple(plan), stat_fn, R, dmax, max_supersteps,
+           str(dtype), struct, with_vsz, sal_L, _pack64_enabled(),
+           _env_flag("GLIA_MERGE_UNROLL"))
+    fn = _JIT_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    E0 = plan[0][1]
+    max_m = max(R - 1, 1)
+    phase_fns = []
+    trans_fns = []
+    for pi, (steps, Ei, Ri) in enumerate(plan):
+        last = pi == len(plan) - 1
+        steps_k = max_supersteps if steps is None or last else steps
+        phase_fns.append(_build_phase_fn(
+            stat_fn, Ei, Ri, R, max_m, dmax, steps_k, dtype, struct,
+            identity_g=(pi == 0), with_vsz=with_vsz))
+        if not last:
+            trans_fns.append(_build_trans_fn(
+                Ei, Ri, R, plan[pi + 1][1], plan[pi + 1][2], dtype,
+                struct, with_vsz=with_vsz))
+    sal_fn = None
+    if sal_L is not None:
+        sal_fn = _build_exact_saliency_fn(E0, max_m, R, sal_L, dtype)
+
+    def run(u0, v0, payload0, vstate0):
+        g_of = jnp.arange(R, dtype=jnp.int32)
+        order = jnp.full((max_m, 3), -1, jnp.int32)
+        sal = jnp.zeros(max_m, dtype)
+        alive = jnp.ones(E0, bool)
+        u, v, payload, vstate = u0, v0, payload0, vstate0
+        n_base = jnp.int32(0)
+        total = jnp.int32(0)
+        ovf = jnp.asarray(False)
+        for pi in range(len(plan)):
+            (u, v, payload, vstate, alive, order, sal, n_loc,
+             step) = phase_fns[pi](u, v, payload, vstate, alive, g_of,
+                                   n_base, order, sal)
+            total = total + step
+            if pi < len(trans_fns):
+                u, v, payload, vstate, alive, g_of, o = trans_fns[pi](
+                    u, v, payload, vstate, alive, g_of, n_base)
+                ovf = ovf | o
+            n_base = n_base + n_loc
+        bad = ovf | alive.any()
+        if sal_fn is None:
+            return order, sal, n_base, total, bad
+        (sc0,) = (payload0[0],)
+        ex, conv = sal_fn(u0, v0, sc0[:, 0], sc0[:, 1], order)
+        sal_exact = jnp.where(jnp.isnan(ex), sal, -ex)
+        return order, sal_exact, n_base, total, bad, conv
+
+    fn = jax.jit(run)
+    _JIT_CACHE[key] = fn
+    return fn
+
+
+def _cap_quantize(x, lo=256, tile=256):
+    """Round a measured capacity UP to ~1/8-of-pow2 steps (tile-aligned):
+    at most 8 distinct compiled capacities per power-of-two bucket while
+    staying within 12.5% of the measured need."""
+    x = max(int(x), 1)
+    step = max((1 << max(x.bit_length() - 1, 0)) // 8, tile)
+    return max(lo, ((x + step - 1) // step) * step)
+
+
 def _fused_multiphase_core(u, v, payload, stat_fn, n_regions,
                            max_supersteps, dtype, dmax=4, plan=None,
                            stats=None, vsizes=None):
@@ -1455,10 +1664,18 @@ def _fused_multiphase_core(u, v, payload, stat_fn, n_regions,
     emission identical; tie-breaks differ only through array positions,
     which both engines already reshuffle every superstep).
 
-    plan: list of (steps, edge_frac, vert_frac); the final entry runs to
-    completion.  Conservative default measured at 2048^2; any capacity
-    overflow falls back to the single-phase engine (correctness is never
-    capacity-dependent).
+    plan=None (default) is ADAPTIVE (VERDICT r5 item #7): the first call
+    on a given (E, R, policy) shape runs 2-step phases and reads the
+    alive count after each (one scalar D2H sync apiece), shrinking the
+    next phase's edge capacity to the quantized measured frontier (alive
+    counts never grow, so the measured bound is safe) and the vertex
+    capacity to 2*alive; the realized (steps, E_cap, R_cap) sequence is
+    MEMOIZED per shape so steady-state calls replay it with zero
+    readbacks.  An explicit plan is a list of (steps, edge_cap,
+    vert_cap) with caps as fractions of E/R (<= 1.0) or absolute rows;
+    the final entry runs to completion.  Any capacity overflow or
+    unfinished frontier falls back to the single-phase engine
+    (correctness is never capacity-dependent).
     """
     import jax
     import jax.numpy as jnp
@@ -1466,30 +1683,64 @@ def _fused_multiphase_core(u, v, payload, stat_fn, n_regions,
     E = len(u)
     R = int(n_regions)
     max_m = max(R - 1, 1)
-    if stats is not None and os.environ.get("GLIA_MERGE_DEBUG"):
+    debug = stats is not None and os.environ.get("GLIA_MERGE_DEBUG")
+    if debug:
         # debug lists accumulate via setdefault into a caller-owned dict
         # that benches reuse across calls; reset so each call's printout
         # reflects only itself
         for k in ("phase_s", "phase_steps", "trans_s",
                   "alive_at_transition"):
             stats.pop(k, None)
-    if plan is None:
-        # measured on 2048^2 (61k regions) watershed RAGs: alive edges
-        # collapse 149,084 -> 13,889 after 2 supersteps -> 882 after 4
-        # (GLIA_MERGE_DEBUG=1 prints the counts), so these caps keep
-        # >=2x headroom on planar RAGs; overflow falls back to the
-        # single-phase engine, so a tight default is safe.
-        plan = [(2, 1.0, 1.0), (2, 0.20, 0.35), (None, 0.02, 0.06)]
 
     payload0 = tuple(jnp.asarray(p, dtype) for p in payload)
     struct = tuple((len(p.shape), str(p.dtype)) for p in payload0)
     with_vsz = vsizes is not None
+    memo_key = (E, R, stat_fn, struct, dmax, str(dtype), with_vsz)
+
+    entries = None  # resolved [(steps|None, E_cap, R_cap)] to execute
+    if plan is not None:
+        entries = []
+        for i, (steps, ef, vf) in enumerate(plan):
+            Ei = E if i == 0 else _tile_ceil(
+                E * ef if ef <= 1.0 else ef)
+            Ri = R if i == 0 else _tile_ceil(
+                R * vf if vf <= 1.0 else vf, lo=128, tile=128)
+            entries.append((steps, Ei, Ri))
+    else:
+        entries = _PLAN_MEMO.get(memo_key)
+    adaptive = entries is None
+
     vstate_d = ()
     if with_vsz:
         vsz0 = jnp.zeros(R + max_m, dtype)
         vstate_d = (vsz0.at[:R].set(jnp.asarray(vsizes, dtype)),)
     u_d = jnp.asarray(u, jnp.int32)
     v_d = jnp.asarray(v, jnp.int32)
+
+    if not adaptive and not debug:
+        # steady state: the whole plan as ONE device program (one
+        # tunnel dispatch, ~25 ms saved per avoided call) + one batched
+        # scalar readback
+        fn = _build_plan_pipeline_fn(
+            tuple((s0, e0, r0) for s0, e0, r0 in entries), stat_fn, R,
+            dmax, max_supersteps, dtype, struct, with_vsz)
+        order_d, sal_d, n_base_d, total_d, bad = fn(
+            u_d, v_d, payload0, vstate_d)
+        vals = np.asarray(jnp.stack(
+            [n_base_d, total_d, bad.astype(jnp.int32)]))
+        if vals[2]:
+            _PLAN_MEMO.pop(memo_key, None)
+            if stats is not None:
+                stats["fallback"] = True
+            return _fused_merge_core(u, v, payload, stat_fn, n_regions,
+                                     max_supersteps, dtype, dmax=dmax,
+                                     stats=stats, vsizes=vsizes)
+        if stats is not None:
+            stats["n_supersteps"] = int(vals[1])
+            stats["buckets"] = [e for _, e, _ in entries]
+            stats["fallback"] = False
+        return order_d, sal_d, int(vals[0])
+
     alive_d = jnp.ones(E, bool)
     order_d = jnp.full((max_m, 3), -1, jnp.int32)
     sal_d = jnp.zeros(max_m, dtype)
@@ -1499,8 +1750,16 @@ def _fused_multiphase_core(u, v, payload, stat_fn, n_regions,
     total_steps = 0
     ovf_any = jnp.asarray(False)
     payload_d = payload0
-    for pi, (steps, ef, vf) in enumerate(plan):
-        last = pi == len(plan) - 1
+    realized = []
+    force_final = False
+    pi = 0
+    while True:
+        if not adaptive:
+            steps = entries[pi][0]
+            last = pi == len(entries) - 1
+        else:
+            last = force_final or E_cur <= 4096 or pi >= 5
+            steps = None if last else 2
         steps_k = max_supersteps if steps is None or last else steps
         fn = _build_phase_fn(stat_fn, E_cur, R_cur, R, max_m, dmax,
                              steps_k, dtype, struct,
@@ -1508,7 +1767,6 @@ def _fused_multiphase_core(u, v, payload, stat_fn, n_regions,
         base_start = n_base  # fresh locals of THIS phase map with the
         # base at phase START (affine rule); pass the same value to the
         # following transition when it composes the id table
-        debug = stats is not None and os.environ.get("GLIA_MERGE_DEBUG")
         if debug:
             import time as _time
 
@@ -1526,12 +1784,26 @@ def _fused_multiphase_core(u, v, payload, stat_fn, n_regions,
             stats.setdefault("phase_steps", []).append(int(step_done))
         n_base = base_start + n_loc
         total_steps = total_steps + step_done  # device scalar; one host
-        # readback at the end (never per-phase: that would serialize
-        # steady-state calls on the D2H round-trip)
+        # readback at the end (adaptive DISCOVERY pays one alive-count
+        # sync per transition, memoized replays pay none)
+        realized.append((None if last else steps, E_cur, R_cur))
         if last:
             break
-        E2 = _tile_ceil(E * plan[pi + 1][1])
-        R2_cap = _tile_ceil(R * plan[pi + 1][2], lo=128, tile=128)
+        if not adaptive:
+            E2, R2_cap = entries[pi + 1][1], entries[pi + 1][2]
+        else:
+            n_alive = int(alive_d.sum())
+            if n_alive == 0:
+                realized[-1] = (None, E_cur, R_cur)
+                break
+            E2 = _cap_quantize(n_alive)
+            R2_cap = _cap_quantize(min(2 * n_alive, R_cur), lo=128,
+                                   tile=128)
+            if E2 >= E_cur:
+                # frontier not shrinking: finish at the current capacity
+                force_final = True
+                pi += 1
+                continue
         tf = _build_trans_fn(E_cur, R_cur, R, E2, R2_cap, dtype, struct,
                              with_vsz=with_vsz)
         if debug:
@@ -1546,20 +1818,24 @@ def _fused_multiphase_core(u, v, payload, stat_fn, n_regions,
             stats.setdefault("alive_at_transition", []).append(
                 int(alive_d.sum()))
         E_cur, R_cur = E2, R2_cap
+        pi += 1
 
     n_m_total = int(n_base)
     leftover = bool(alive_d.any())
     if bool(ovf_any) or leftover:
         # capacity plan too tight for this RAG: fall back to the
-        # single-phase engine (slower, never wrong)
+        # single-phase engine (slower, never wrong); drop a stale memo
+        # so the next call re-measures
+        _PLAN_MEMO.pop(memo_key, None)
         if stats is not None:
             stats["fallback"] = True
         return _fused_merge_core(u, v, payload, stat_fn, n_regions,
                                  max_supersteps, dtype, dmax=dmax,
                                  stats=stats, vsizes=vsizes)
+    if adaptive:
+        _PLAN_MEMO[memo_key] = realized
     if stats is not None:
         stats["n_supersteps"] = int(total_steps)
-        stats["buckets"] = [_tile_ceil(E * f[1]) if i else E
-                            for i, f in enumerate(plan)]
+        stats["buckets"] = [e for _, e, _ in realized]
         stats["fallback"] = False
     return order_d, sal_d, n_m_total

@@ -509,16 +509,23 @@ def merge_batched_sharded(u, v, s, c, n_regions, mesh, dmax=4,
     sc = np.stack([np.asarray(s), np.asarray(c)], axis=1)
     uf, vf, gf, pf, af, C = shard_merge_inputs(u, v, sc, D,
                                                headroom=headroom)
-    Ct = route_cap if route_cap is not None else max(256, C // 16)
-    fn = _build_sharded_fn(mesh, _mean_stat_packed, C, R, 2, dmax,
-                           max_supersteps, dtype, Ct=Ct)
-    order, sal, n_m, steps, routed, moved, overflow = fn(
-        jnp.asarray(uf), jnp.asarray(vf), jnp.asarray(gf),
-        jnp.asarray(pf, dtype), jnp.asarray(af))
-    if bool(overflow):
-        raise RuntimeError(
-            f"sharded merge capacity overflow (C={C}, Ct={Ct}, D={D}); "
-            f"rerun with larger headroom / route_cap")
+    # tight default route capacity; a touched-row overflow is detected
+    # on device and retried with doubled capacity (correctness is never
+    # capacity-dependent, only the padded wire size is)
+    Ct = route_cap if route_cap is not None else max(256, C // 32)
+    while True:
+        fn = _build_sharded_fn(mesh, _mean_stat_packed, C, R, 2, dmax,
+                               max_supersteps, dtype, Ct=Ct)
+        order, sal, n_m, steps, routed, moved, overflow = fn(
+            jnp.asarray(uf), jnp.asarray(vf), jnp.asarray(gf),
+            jnp.asarray(pf, dtype), jnp.asarray(af))
+        if not bool(overflow):
+            break
+        if Ct >= C:
+            raise RuntimeError(
+                f"sharded merge capacity overflow (C={C}, Ct={Ct}, "
+                f"D={D}); rerun with larger headroom")
+        Ct = min(2 * Ct, C)
     if stats is not None:
         n_ids = R + max(R - 1, 1)
         row_bytes = 4 * 4 + 2 * np.dtype(
