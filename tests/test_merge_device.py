@@ -550,3 +550,29 @@ def test_median_exact_cut_drift_bounded():
     _, _, vi_h = eval_vi(seg_h, data["truth"])
     _, _, vi_e = eval_vi(seg_e, data["truth"])
     assert abs(vi_e - vi_h) < 0.06
+
+
+def test_adaptive_plan_engages_on_3d_rag():
+    """VERDICT r5 item #7: the adaptive capacity plan must engage (no
+    single-phase fallback) on a 3D supervoxel RAG -- a shape family the
+    old hand-tuned 2048^2 plan was never measured on."""
+    from glia_tpu.data.synthetic import synthetic_em_stack
+
+    stack = synthetic_em_stack(shape=(12, 64, 64), n_cells=30, seed=7)
+    seg = watershed_native(stack["pb3d"], level=0.01)
+    rag = build_rag(seg, contour_only=False)
+    u, v, s, c = edge_mean_arrays(rag, stack["pb3d"])
+    stats = {}
+    order, sal, n_m = merge_batched_device(u, v, s, c, rag.n_regions,
+                                           mode="fused_ms", stats=stats)
+    assert stats["fallback"] is False
+    assert n_m > 0
+    # steady-state replay of the memoized plan also stays on-plan
+    stats2 = {}
+    order2, sal2, n_m2 = merge_batched_device(u, v, s, c, rag.n_regions,
+                                              mode="fused_ms",
+                                              stats=stats2)
+    assert stats2["fallback"] is False
+    assert n_m2 == n_m
+    np.testing.assert_array_equal(np.asarray(order2)[:n_m2],
+                                  np.asarray(order)[:n_m])
