@@ -266,3 +266,34 @@ def test_median_sketch_from_counts_on_chip():
     true = float(np.partition(v, len(v) // 2)[len(v) // 2])
     step = tab[1] - tab[0]
     assert abs(med - true) <= step + 1e-6
+
+
+def test_one_dispatch_merge_exact_on_chip():
+    """Round-5 production path: merge + exact merge-time saliencies as
+    ONE device program (merge_batched_device_exact) -- saliencies must
+    match the serial host replay on the chip-produced order, and the
+    memoized steady-state call must reproduce the discovery call."""
+    import scipy.ndimage as ndi
+
+    from glia_tpu.data.synthetic import synthetic_em_slice
+    from glia_tpu.graph.merge_device import (
+        edge_mean_arrays, merge_batched_device_exact,
+        replay_exact_saliency)
+    from glia_tpu.graph.rag import build_rag
+    from glia_tpu.native import watershed_native
+
+    data = synthetic_em_slice((160, 160), n_cells=70, seed=9,
+                              blur=1.2, noise=0.12)
+    seg = watershed_native(ndi.gaussian_filter(data["pb"], 1.0),
+                           level=0.004)
+    rag = build_rag(seg, contour_only=False)
+    u, v, s, c = edge_mean_arrays(rag, data["pb"])
+    o1, s1, n1 = merge_batched_device_exact(u, v, s, c, rag.n_regions)
+    o2, s2, n2 = merge_batched_device_exact(u, v, s, c, rag.n_regions)
+    assert n2 == n1 > 0
+    np.testing.assert_array_equal(np.asarray(o2)[:n2],
+                                  np.asarray(o1)[:n1])
+    ex_host = replay_exact_saliency(u, v, s, c, np.asarray(o2)[:n2])
+    ok = np.isfinite(ex_host)
+    np.testing.assert_allclose(-np.asarray(s2)[:n2][ok], ex_host[ok],
+                               rtol=1e-4, atol=1e-6)

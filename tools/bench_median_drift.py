@@ -85,7 +85,8 @@ def median_drift(side=1024, policy="median", n_bins=32, seed=11):
     tau = -sal_h[k - 1]
     seg_h = apply_merge_order(seg, order_h, threshold_index=k)
     _, _, vi_h = eval_vi(seg_h, data["truth"])
-    out = {"side": side, "policy": policy, "edges": int(rag.n_edges),
+    out = {"side": side, "policy": policy, "n_bins": n_bins,
+           "edges": int(rag.n_edges),
            "vi_serial": round(float(vi_h), 4)}
     for name, stats in (("stale", stale), ("exact", ex)):
         mask = threshold_cut(okeys, stats, tau)
@@ -100,7 +101,9 @@ def median_drift(side=1024, policy="median", n_bins=32, seed=11):
 def main():
     side = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     policy = sys.argv[2] if len(sys.argv) > 2 else "median"
-    print(json.dumps(median_drift(side, policy)), flush=True)
+    n_bins = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    print(json.dumps(median_drift(side, policy, n_bins=n_bins)),
+          flush=True)
 
 
 if __name__ == "__main__":
