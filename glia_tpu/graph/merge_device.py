@@ -27,7 +27,6 @@ when composed with the RAG's key table.
 from __future__ import annotations
 
 import os
-from functools import partial
 
 import numpy as np
 
