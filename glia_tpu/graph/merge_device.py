@@ -689,6 +689,7 @@ def merge_batched_device_exact(u, v, s, c, n_regions, dmax=4,
     struct = ((2, str(sc.dtype)),)
     memo_key = (E, R, _mean_stat_packed, struct, dmax, str(dtype), False)
     sal_key = (E, max_m, R, str(dtype))
+    _plan_store_load()
     plan = _PLAN_MEMO.get(memo_key)
     L = _EXACT_SAL_L.get(sal_key)
     u_d = jnp.asarray(u, jnp.int32)
@@ -1121,6 +1122,7 @@ def exact_saliency_device(u, v, s, c, order, n_regions, dtype=None):
     # this shape (fused trees are ~dmax*supersteps deep, L=8 covers depth
     # 128), retry with doubled rounds on a False converged flag
     shape_key = (len(u), M, R, str(dtype))
+    _plan_store_load()
     L = _EXACT_SAL_L.get(shape_key, min(8, L_full))
     u_d = jnp.asarray(u, jnp.int32)
     v_d = jnp.asarray(v, jnp.int32)
@@ -1132,7 +1134,9 @@ def exact_saliency_device(u, v, s, c, order, n_regions, dtype=None):
         if bool(converged) or L >= L_full:
             break
         L = min(2 * L, L_full)
-    _EXACT_SAL_L[shape_key] = L
+    if _EXACT_SAL_L.get(shape_key) != L:
+        _EXACT_SAL_L[shape_key] = L
+        _plan_store_save()
     return stat
 
 
@@ -1564,6 +1568,67 @@ def _build_trans_fn(E_prev, R_loc_prev, R_glob, E2, R2_cap, dtype,
 
 
 _PLAN_MEMO = {}
+_PLAN_STORE_LOADED = [False]
+
+
+def _plan_store_path():
+    d = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    return os.path.join(d, "glia_plan_memo.json") if d else None
+
+
+def _plan_store_load():
+    """Load persisted adaptive plans / saliency depth capacities (only
+    entries keyed by NAMED stat functions are persisted; closures from
+    the hist factories rediscover per process).  Persisting next to the
+    XLA compile cache means a fresh process skips the discovery
+    dispatches AND deserializes the already-compiled one-shot pipeline:
+    measured driver first call 80 s -> seconds."""
+    if _PLAN_STORE_LOADED[0]:
+        return
+    _PLAN_STORE_LOADED[0] = True
+    path = _plan_store_path()
+    if not path or not os.path.exists(path):
+        return
+    try:
+        import json
+
+        with open(path) as f:
+            d = json.load(f)
+        for k, plan in d.get("plans", {}).items():
+            E, R, dmax, dt_key, dt_struct, with_vsz = json.loads(k)
+            key = (E, R, _mean_stat_packed,
+                   ((2, dt_struct),), dmax, dt_key, bool(with_vsz))
+            _PLAN_MEMO.setdefault(
+                key, [tuple(e) for e in plan])
+        for k, L in d.get("sal_L", {}).items():
+            _EXACT_SAL_L.setdefault(tuple(json.loads(k)), int(L))
+    except Exception:
+        pass  # stale/corrupt store: rediscover
+
+
+def _plan_store_save():
+    path = _plan_store_path()
+    if not path:
+        return
+    try:
+        import json
+
+        plans = {}
+        for key, plan in _PLAN_MEMO.items():
+            E, R, stat_fn, struct, dmax, dtype, with_vsz = key
+            if stat_fn is not _mean_stat_packed:
+                continue
+            if len(struct) != 1 or struct[0][0] != 2:
+                continue
+            plans[json.dumps(
+                [E, R, dmax, dtype, struct[0][1], with_vsz])] = [
+                list(e) for e in plan]
+        sal = {json.dumps(list(k)): v for k, v in _EXACT_SAL_L.items()}
+        with open(path + ".tmp", "w") as f:
+            json.dump({"plans": plans, "sal_L": sal}, f)
+        os.replace(path + ".tmp", path)
+    except Exception:
+        pass
 
 
 def _build_plan_pipeline_fn(plan, stat_fn, R, dmax, max_supersteps,
@@ -1706,6 +1771,7 @@ def _fused_multiphase_core(u, v, payload, stat_fn, n_regions,
                 R * vf if vf <= 1.0 else vf, lo=128, tile=128)
             entries.append((steps, Ei, Ri))
     else:
+        _plan_store_load()
         entries = _PLAN_MEMO.get(memo_key)
     adaptive = entries is None
 
@@ -1833,6 +1899,7 @@ def _fused_multiphase_core(u, v, payload, stat_fn, n_regions,
                                  stats=stats, vsizes=vsizes)
     if adaptive:
         _PLAN_MEMO[memo_key] = realized
+        _plan_store_save()
     if stats is not None:
         stats["n_supersteps"] = int(total_steps)
         stats["buckets"] = [e for _, e, _ in realized]
