@@ -1823,8 +1823,12 @@ def _fused_multiphase_core(u, v, payload, stat_fn, n_regions,
             steps = entries[pi][0]
             last = pi == len(entries) - 1
         else:
-            last = force_final or E_cur <= 4096 or pi >= 5
-            steps = None if last else 2
+            # 1-step phases while the frontier is large (the first
+            # superstep kills ~half the edges, so shrinking immediately
+            # after it saves most of superstep 2's full-E cost; measured
+            # -11% at 2048^2), then 2-step phases for the mid tail
+            last = force_final or E_cur <= 4096 or pi >= 6
+            steps = None if last else (1 if pi < 2 else 2)
         steps_k = max_supersteps if steps is None or last else steps
         fn = _build_phase_fn(stat_fn, E_cur, R_cur, R, max_m, dmax,
                              steps_k, dtype, struct,
